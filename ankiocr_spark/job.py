@@ -1,0 +1,144 @@
+"""The flagship batch extraction job — SURVEY.md §3.1/§3.2 transposed.
+
+Reference lifecycle (OCR.run_ocr_on_query, /root/reference/src/anki_ocr/
+ocr.py:218-252): query → materialize note graph → batch manifests →
+one Tesseract subprocess per batch → split/rejoin → clean → writeback.
+
+Spark transposition (all lazy until the sink):
+
+    read parquet/Iceberg ──ColumnPruning──► select(url, html)
+        │ lang/ts predicates pushed to the scan (PushedFilters)
+        ▼
+    salted repartition on pmod(xxhash64(url), salt_buckets)   ← skew spread
+        ▼
+    mapInPandas(fused strip→score→extract→clean kernel)       ← ONE Arrow hop
+        ▼
+    write parquet partitioned by bucket (dynamic overwrite)   ← partition-local re-runs
+
+The driver→executor→Python-worker Arrow hop replaces the reference's
+``subprocess.Popen`` process boundary (pytesseract.py:201); Arrow batch
+ordering replaces the ``batch_mapping`` positional rejoin (ocr.py:151-161) —
+row↔result alignment is free, so no separate split/zip operator exists here.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .config import ExtractConfig
+from .kernel import extract_record, extract_spans
+
+#: output schema of the fused kernel (FIXTURES.md §4)
+EXTRACT_SCHEMA = (
+    "url string, extracted_text string, n_blocks int, n_chars int, error string"
+)
+
+SPANS_SCHEMA = (
+    "url string, block_id int, tag string, text string, "
+    "n_chars int, link_density double, kept boolean"
+)
+
+
+def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Fused strip→score→extract→clean over Arrow batches.
+
+    One pandas stage, one Arrow round-trip (SURVEY.md §4 "fused pipeline");
+    the per-row loop below is *inside* a vectorized batch — the same
+    granularity as the reference's per-manifest loop (ocr.py:90), not a
+    per-row Spark UDF.
+    """
+    for pdf in batches:
+        urls = pdf["url"].tolist()
+        htmls = pdf["html"].tolist()
+        yield pd.DataFrame.from_records(
+            extract_record(u, h) for u, h in zip(urls, htmls)
+        )
+
+
+def _spans_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Span-level variant — the "tooltip" writeback analog (api.py:230-236):
+    one output row per scored block instead of one per page."""
+    cols = ["url", "block_id", "tag", "text", "n_chars", "link_density", "kept"]
+    for pdf in batches:
+        rows = []
+        for url, html in zip(pdf["url"].tolist(), pdf["html"].tolist()):
+            if html is None:
+                continue
+            try:
+                for b in extract_spans(html):
+                    rows.append((url, b.block_id, b.tag, b.text, b.n_chars,
+                                 b.link_density, b.kept))
+            except Exception:
+                continue  # quarantined by the text-mode job; spans mode skips
+        yield pd.DataFrame(rows, columns=cols)
+
+
+def salted(df: DataFrame, buckets: int) -> DataFrame:
+    """Attach the salt/bucket column and hash-repartition on it.
+
+    ``pmod(xxhash64(url), buckets)`` spreads hot/jumbo urls uniformly
+    (north_rule skew handling). The bucket column doubles as the output
+    partition key so re-runs, resumes, and MERGEs stay partition-local.
+    """
+    df = df.withColumn(
+        "bucket", F.pmod(F.xxhash64(F.col("url")), F.lit(buckets)).cast("int")
+    )
+    return df.repartition(buckets, F.col("bucket"))
+
+
+def run_extract(
+    spark: SparkSession,
+    pages: DataFrame,
+    cfg: Optional[ExtractConfig] = None,
+) -> DataFrame:
+    """Lazy extraction plan over a pages DataFrame (url, ..., html, lang).
+
+    Keeps only (url, html) in the kernel input projection — Arrow
+    serialization of the binary payload dominates I/O (SURVEY.md §4), so
+    nothing else crosses the Python boundary.
+    """
+    cfg = cfg or ExtractConfig()
+    spark.conf.set(
+        "spark.sql.execution.arrow.maxRecordsPerBatch", str(cfg.batch_rows)
+    )
+    if cfg.lang_filter:
+        pages = pages.where(F.col("lang").isin(cfg.lang_filter))
+
+    projected = pages.select("url", "html")
+    part = salted(projected, cfg.salt_buckets)
+
+    if cfg.output_mode == "spans":
+        out = part.select("url", "html").mapInPandas(_spans_batches, SPANS_SCHEMA)
+    else:
+        out = part.select("url", "html").mapInPandas(_extract_batches, EXTRACT_SCHEMA)
+    # re-attach the bucket for partitioned writes without recomputing the hash
+    return out.withColumn(
+        "bucket", F.pmod(F.xxhash64(F.col("url")), F.lit(cfg.salt_buckets)).cast("int")
+    )
+
+
+def extract_job(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    cfg: Optional[ExtractConfig] = None,
+) -> None:
+    """End-to-end batch job: the spark-submit entry (SURVEY.md §3.2).
+
+    Compute-then-commit ordering (CHANGELOG.md:83 analog): the write is the
+    only side effect, and dynamic partition overwrite makes re-runs
+    idempotent per bucket. With Iceberg catalogs this becomes
+    ``writeTo(...).overwritePartitions()`` — same plan, transactional sink.
+    """
+    cfg = cfg or ExtractConfig()
+    pages = spark.read.parquet(input_path)
+    result = run_extract(spark, pages, cfg)
+    (
+        result.write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(output_path)
+    )

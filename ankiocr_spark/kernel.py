@@ -1,0 +1,240 @@
+"""The fused extraction kernel: HTML bytes → main-content text + spans.
+
+This is the rebuild of the reference's extraction kernel
+(``OCR._ocr_img`` → Tesseract subprocess, /root/reference/src/anki_ocr/ocr.py:201-216)
+as a pure, deterministic Python function over HTML payloads
+(BASELINE.json:north_star: "lxml DOM parse, readability/trafilatura-style
+boilerplate stripping (text-density + link-density scoring per block, tag
+whitelist/blacklist pruning)"). lxml is not available in this container, so
+the DOM walk uses the stdlib ``html.parser`` — which is *better* for the
+per-url byte-identical invariant: zero external parser-version dependence.
+
+Determinism contract: same bytes in → same bytes out. No dict ordering,
+locale, wall clock, or library-version dependence. The golden fixtures
+(fixtures.py) are generated from this module's SPEC (the constants below),
+never by running the kernel on itself (FIXTURES.md §2).
+
+The kernel is invoked ONLY through Arrow batches (``mapInPandas`` in
+job.py) — never as a row-at-a-time Spark UDF (BASELINE.json:input_hint
+"no per-row Python"). The row loop below runs inside a single Arrow batch
+on the Python worker, which is the vectorization boundary Spark offers for
+opaque binary payloads (the analog of the reference's batch manifest loop,
+ocr.py:90).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from dataclasses import dataclass
+from html.parser import HTMLParser
+from typing import List, Optional, Tuple
+
+from .textclean import clean_text
+
+# ---------------------------------------------------------------------------
+# SPEC constants — changing any of these is a kernel version change and MUST
+# break golden tests (FIXTURES.md §2). KERNEL_VERSION hashes this module.
+# ---------------------------------------------------------------------------
+
+#: Subtrees dropped entirely — the analog of the reference's image-format
+#: whitelist filter (/root/reference/src/anki_ocr/api.py:39,64), inverted to
+#: a boilerplate tag blacklist per SURVEY.md §2 row 5.
+PRUNE_TAGS = frozenset(
+    "script style nav footer header aside form noscript iframe template svg "
+    "select button textarea object embed head title".split()
+)
+
+#: Tags whose open/close marks a block boundary (text segmentation points).
+BLOCK_TAGS = frozenset(
+    "p h1 h2 h3 h4 h5 h6 li ul ol dl dt dd td th tr table div section "
+    "article main blockquote pre figure figcaption caption address hr".split()
+)
+
+HEADING_TAGS = frozenset("h1 h2 h3 h4 h5 h6".split())
+
+#: Keep rule: a block survives iff its link density is below this AND it
+#: meets the length floor (headings get a lower floor).
+MAX_LINK_DENSITY = 0.5
+MIN_TEXT_CHARS = 25
+MIN_HEADING_CHARS = 3
+
+#: Oversized payloads are truncated and flagged instead of hanging the
+#: worker — the analog of pytesseract's subprocess timeout+kill
+#: (/root/reference/src/anki_ocr/pytesseract.py:94-110), per SURVEY.md §4.
+MAX_HTML_BYTES = 8 * 1024 * 1024
+
+_WS_RUN = re.compile(r"\s+")
+
+
+def _normalize(text: str) -> str:
+    """Collapse whitespace runs to single spaces and strip ends."""
+    return _WS_RUN.sub(" ", text).strip()
+
+
+@dataclass(frozen=True)
+class Block:
+    block_id: int
+    tag: str
+    text: str
+    n_chars: int
+    link_density: float  # rounded to 6 dp for cross-engine comparability
+    kept: bool
+
+
+class _BlockParser(HTMLParser):
+    """Linear block segmenter: splits the document's text at block-tag
+    boundaries, tracking anchor-text length per segment for link-density
+    scoring. Prune-tag subtrees contribute nothing."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self._prune_stack: List[str] = []
+        self._anchor_depth = 0
+        self._pieces: List[str] = []
+        self._link_pieces: List[str] = []
+        self._segment_tag = "body"
+        self.segments: List[Tuple[str, str, str]] = []  # (tag, text, link_text)
+
+    # -- segment management -------------------------------------------------
+    def _flush(self, tag_for_segment: str) -> None:
+        text = _normalize("".join(self._pieces))
+        if text:
+            link_text = _normalize("".join(self._link_pieces))
+            self.segments.append((tag_for_segment, text, link_text))
+        self._pieces = []
+        self._link_pieces = []
+
+    # -- HTMLParser hooks ----------------------------------------------------
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in PRUNE_TAGS:
+            self._prune_stack.append(tag)
+            return
+        if self._prune_stack:
+            return
+        if tag in BLOCK_TAGS:
+            self._flush(self._segment_tag)
+            self._segment_tag = tag
+        elif tag == "a":
+            self._anchor_depth += 1
+        elif tag == "br":
+            self._pieces.append(" ")
+
+    def handle_startendtag(self, tag: str, attrs) -> None:
+        if tag in PRUNE_TAGS:
+            return  # self-closing prune tag has no subtree
+        if self._prune_stack:
+            return
+        if tag in BLOCK_TAGS:
+            self._flush(self._segment_tag)
+            self._segment_tag = tag
+        elif tag == "br":
+            self._pieces.append(" ")
+
+    def handle_endtag(self, tag: str) -> None:
+        if self._prune_stack:
+            if tag == self._prune_stack[-1]:
+                self._prune_stack.pop()
+            return
+        if tag in BLOCK_TAGS:
+            self._flush(tag)
+            self._segment_tag = "body"
+        elif tag == "a" and self._anchor_depth > 0:
+            self._anchor_depth -= 1
+
+    def handle_data(self, data: str) -> None:
+        if self._prune_stack or not data:
+            return
+        self._pieces.append(data)
+        if self._anchor_depth > 0:
+            self._link_pieces.append(data)
+
+    def close(self) -> None:  # flush trailing text
+        super().close()
+        self._flush(self._segment_tag)
+
+
+def _decode(html) -> str:
+    if isinstance(html, (bytes, bytearray, memoryview)):
+        raw = bytes(html)
+        if len(raw) > MAX_HTML_BYTES:
+            raw = raw[:MAX_HTML_BYTES]
+        return raw.decode("utf-8", errors="replace")
+    return str(html)
+
+
+def extract_spans(html) -> List[Block]:
+    """Parse HTML (bytes or str) into scored blocks, document order.
+
+    The analog of ``OCRField.parse_images`` (/root/reference/src/anki_ocr/
+    api.py:44-77): parse → per-child extraction → validity scoring, emitting
+    one record per block instead of one ``OCRImage`` per ``<img>`` tag.
+    """
+    parser = _BlockParser()
+    parser.feed(_decode(html))
+    parser.close()
+
+    blocks: List[Block] = []
+    for i, (tag, text, link_text) in enumerate(parser.segments):
+        n = len(text)
+        density = round(min(1.0, len(link_text) / n), 6) if n else 0.0
+        min_chars = MIN_HEADING_CHARS if tag in HEADING_TAGS else MIN_TEXT_CHARS
+        kept = density < MAX_LINK_DENSITY and n >= min_chars
+        blocks.append(Block(i, tag, text, n, density, kept))
+    return blocks
+
+
+def extract_main_text(html) -> str:
+    """Fused strip→score→extract→clean: the flagship scalar kernel.
+
+    Document-order concatenation of kept blocks (the analog of Tesseract's
+    layout-ordered output joined per batch, ocr.py:153), then the reference's
+    exact text normalization (textclean.clean_text, ocr.py:141-149).
+    """
+    kept = [b.text for b in extract_spans(html) if b.kept]
+    return clean_text("\n".join(kept))
+
+
+def extract_record(url: Optional[str], html) -> dict:
+    """Kernel wrapper with error quarantine — one output record per page.
+
+    Failed rows get ``error`` set instead of raising (replaces the
+    reference's log-and-skip, api.py:50-62, and the subprocess kill path).
+    Oversized payloads are truncated and flagged via ``error='truncated'``
+    while still producing output.
+    """
+    if html is None:
+        return {"url": url, "extracted_text": None, "n_blocks": 0, "n_chars": 0, "error": "null_html"}
+    try:
+        truncated = isinstance(html, (bytes, bytearray, memoryview)) and len(html) > MAX_HTML_BYTES
+        blocks = extract_spans(html)
+        kept = [b for b in blocks if b.kept]
+        text = clean_text("\n".join(b.text for b in kept))
+        return {
+            "url": url,
+            "extracted_text": text,
+            "n_blocks": len(kept),
+            "n_chars": len(text),
+            "error": "truncated" if truncated else None,
+        }
+    except Exception as exc:  # quarantine, never kill the task
+        return {
+            "url": url,
+            "extracted_text": None,
+            "n_blocks": 0,
+            "n_chars": 0,
+            "error": f"{type(exc).__name__}: {exc}"[:500],
+        }
+
+
+def _kernel_version() -> str:
+    """Content hash of this module — recorded in the checkpoint ledger so a
+    kernel change invalidates resume lineage (SURVEY.md §7 step 6)."""
+    try:
+        with open(__file__, "rb") as fh:
+            return hashlib.md5(fh.read()).hexdigest()[:12]
+    except OSError:
+        return "unknown"
+
+
+KERNEL_VERSION = _kernel_version()

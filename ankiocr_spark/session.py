@@ -1,0 +1,61 @@
+"""SparkSession construction with scale-appropriate defaults.
+
+One place for every tuning knob so the bench harness, tests, and jobs run
+identical configurations (only parallelism varies for the N-vs-4N scaling
+evidence, BASELINE.md target row).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Defaults chosen for the 100 TB design point, applied even in local mode:
+#: AQE re-plans skew at runtime; dynamic partition overwrite makes re-runs
+#: partition-local; Arrow batch size is set per-job from ExtractConfig.
+BASE_CONFS = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.sources.partitionOverwriteMode": "dynamic",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.parquet.compression.codec": "zstd",
+    # binary html payloads can exceed 2 GiB per Arrow column at scale
+    "spark.sql.execution.arrow.useLargeVarTypes": "true",
+    "spark.ui.enabled": "false",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+}
+
+
+def _export_package_path() -> None:
+    """Make the package importable in Spark's Python workers regardless of
+    cwd. Local mode: workers inherit the driver process env, so PYTHONPATH
+    must carry the repo root *before* the JVM spawns. On a real cluster the
+    same role is played by ``spark-submit --py-files ankiocr_spark.zip``
+    (SURVEY.md §3.2)."""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    parts = os.environ.get("PYTHONPATH", "").split(os.pathsep)
+    if root not in parts:
+        os.environ["PYTHONPATH"] = os.pathsep.join([root] + [p for p in parts if p])
+
+
+def get_spark(
+    app_name: str = "ankiocr_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra: dict | None = None,
+) -> SparkSession:
+    _export_package_path()
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        n = "".join(c for c in master if c.isdigit()) or "32"
+        shuffle_partitions = max(int(n), 8)
+    builder = SparkSession.builder.appName(app_name).master(master)
+    confs = dict(BASE_CONFS)
+    confs["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    confs.update(extra or {})
+    for k, v in confs.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

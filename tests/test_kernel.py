@@ -1,0 +1,86 @@
+"""Pure-kernel golden tests — the analog of the reference's annotated-image
+fixtures (/root/reference/tests/test_ocr.py:33-60): exact byte equality of
+extract on spec'd inputs, run WITHOUT Spark (SURVEY.md §5)."""
+
+import random
+
+from ankiocr_spark.kernel import (
+    extract_main_text,
+    extract_spans,
+    extract_record,
+    MAX_HTML_BYTES,
+)
+from ankiocr_spark.fixtures import build_page, gen_rows, MALFORMED_HTML
+
+
+def test_basic_extraction():
+    html = (
+        b"<html><head><script>junk()</script></head><body>"
+        b"<nav><a href='/'>home</a><a href='/x'>about us page</a></nav>"
+        b"<h1>Main Title Here</h1>"
+        b"<p>This paragraph is long enough to be kept by the extractor rule.</p>"
+        b"<p>tiny</p>"
+        b"<div><a href='1'>link one text</a> <a href='2'>link two text</a></div>"
+        b"<footer><p>copyright two thousand</p></footer>"
+        b"</body></html>"
+    )
+    out = extract_main_text(html)
+    assert out == (
+        "Main Title Here\n"
+        "This paragraph is long enough to be kept by the extractor rule."
+    )
+
+
+def test_spans_scoring():
+    html = (
+        b"<body><h2>Hi</h2><h2>Long Enough Heading</h2>"
+        b"<p>A paragraph with plenty of characters to clear the floor.</p>"
+        b"<p><a href='x'>this entire block is one big anchor so dropped</a></p></body>"
+    )
+    blocks = extract_spans(html)
+    by_text = {b.text: b for b in blocks}
+    assert not by_text["Hi"].kept  # heading below MIN_HEADING_CHARS
+    assert by_text["Long Enough Heading"].kept
+    assert by_text["A paragraph with plenty of characters to clear the floor."].kept
+    anchor = by_text["this entire block is one big anchor so dropped"]
+    assert anchor.link_density == 1.0 and not anchor.kept
+
+
+def test_entity_and_whitespace_normalization():
+    html = b"<p>alpha &amp; beta\n\t gamma   delta and some more padding words</p>"
+    assert extract_main_text(html) == "alpha & beta gamma delta and some more padding words"
+
+
+def test_malformed_and_null():
+    rec = extract_record("u1", MALFORMED_HTML)
+    assert rec["error"] is None and rec["extracted_text"] == ""
+    rec = extract_record("u2", None)
+    assert rec["error"] == "null_html" and rec["extracted_text"] is None
+
+
+def test_truncation_flag():
+    body = b"<p>" + b"a" * (MAX_HTML_BYTES + 100) + b"</p>"
+    rec = extract_record("u3", body)
+    assert rec["error"] == "truncated"
+    assert rec["extracted_text"] is not None
+
+
+def test_determinism_repeat():
+    rng = random.Random(7)
+    html, expected, _ = build_page(rng)
+    outs = {extract_main_text(html) for _ in range(3)}
+    assert outs == {expected}
+
+
+def test_fixture_goldens_match_kernel():
+    """Every fixture row's spec-derived golden must equal the kernel output —
+    the per-url byte-identical invariant (BASELINE.json:input_hint)."""
+    n_checked = 0
+    for row in gen_rows(300, seed=42):
+        if row["html"] is None:
+            assert row["expected_text"] is None
+            continue
+        got = extract_main_text(row["html"])
+        assert got == row["expected_text"], row["url"]
+        n_checked += 1
+    assert n_checked > 250
