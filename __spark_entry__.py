@@ -1,38 +1,47 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship main-content extraction over the
+sf0.001 documents table (wrapped deterministically into the input_hint
+page shape); ``queries()``/``oracle_sql()`` expose the full operator
+inventory (SURVEY.md §2 + the training-data pipeline ops) with DuckDB
+oracles at sf0.01.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from ankiocr_spark import ops  # noqa: E402
+from ankiocr_spark.datapipe import dedup, similarity, textstats, multimodal  # noqa: E402
+from ankiocr_spark.session import ensure_workers_can_import  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: wrap documents into
+    (url, html BINARY) pages and run the fused extraction kernel."""
+    ensure_workers_can_import(spark)
+    return ops.q_flagship_extract(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for mod in (ops, dedup, similarity, textstats, multimodal):
+        for name, fn in mod.QUERIES.items():
+            def wrapped(spark, sf_dir, _fn=fn):
+                ensure_workers_can_import(spark)
+                return _fn(spark, sf_dir)
+            out[name] = wrapped
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out: dict[str, str] = {}
+    for mod in (ops, dedup, similarity, textstats, multimodal):
+        out.update(mod.ORACLE_SQL)
+    return out

@@ -1,0 +1,269 @@
+"""Deduplication operators over the documents table.
+
+Scale notes (the 100 TB design point):
+  - exact: one shuffle on a 128-bit content hash; map-side partial agg.
+  - n-gram Jaccard: shingle-explode → equi-join on shingle → pair agg.
+    The shingle join is the classic candidate generator; hot shingles are
+    the skew risk, so very frequent shingles should be dropped (stopword
+    shingles carry no dedup signal) — see MAX_SHINGLE_DF below.
+  - MinHash-LSH: constant-size signatures (K hashes) per doc → band join.
+    Shuffle volume is O(docs × bands), independent of document length —
+    this is the scale path; the pairwise Jaccard join is the oracle path.
+  - SimHash: fixed 32-bit sketch per doc, near-dups share sketch values.
+
+All hashes are md5-derived (`conv(substr(md5(x),1,15),16,10)`) so the
+DuckDB oracle reproduces them exactly; xxhash64 would be faster JVM-side
+but is not available to the oracle. At production scale swap HASH_EXPR for
+xxhash64 — the plan shape is identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _load_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# 60-bit deterministic hash from md5 — identical in Spark and DuckDB.
+def _md5int(col):
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def shingles(df: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) rows: distinct n-word shingles per document."""
+    tokens = F.split(F.col("text"), " ")
+    sh = F.when(
+        F.size(tokens) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tokens) - (n - 1)),
+            lambda i: F.array_join(F.slice(tokens, i, n), " "),
+        ),
+    ).otherwise(F.array(F.col("text")))
+    return (
+        df.select("doc_id", F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+# --- exact dedup --------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate groups by content hash; keeper = min doc_id.
+    One hash-shuffle; at 100 TB this is the cheapest dedup pass and runs
+    first to shrink every later stage."""
+    docs = _load_docs(spark, sf_dir)
+    return (
+        docs.groupBy(F.md5("text").alias("content_hash"))
+        .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("keeper_doc_id"))
+        .where(F.col("n_copies") > 1)
+    )
+
+
+ORACLE_DEDUP_EXACT = """
+SELECT md5(text) AS content_hash, count(*) AS n_copies,
+       min(doc_id) AS keeper_doc_id
+FROM documents GROUP BY md5(text) HAVING count(*) > 1
+"""
+
+
+# --- n-gram Jaccard -----------------------------------------------------------
+
+JACCARD_THRESHOLD = 0.20
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jaccard over 3-word shingle sets, candidate pairs generated
+    by the shared-shingle equi-join. Output: pairs above threshold."""
+    docs = _load_docs(spark, sf_dir)
+    sh = shingles(docs).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
+            ).alias("jaccard"),
+        )
+    )
+    return jac.where(F.col("jaccard") >= JACCARD_THRESHOLD)
+
+
+ORACLE_DEDUP_NGRAM = f"""
+WITH tok AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(CASE WHEN len(t) >= 3
+                THEN list_transform(generate_series(1, len(t) - 2),
+                                    i -> array_to_string(list_slice(t, i, i + 2), ' '))
+                ELSE [array_to_string(t, ' ')] END) AS shingle
+  FROM tok),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= {JACCARD_THRESHOLD}
+"""
+
+
+# --- MinHash + LSH ------------------------------------------------------------
+
+MINHASH_K = 8        # signature length
+LSH_BAND_ROWS = 2    # rows per band → 4 bands
+
+
+def minhash_signatures(sh: DataFrame) -> DataFrame:
+    """(doc_id, seed, minhash): min over shingles of a seeded md5 hash.
+    Signature size is constant per doc — the shuffle is O(docs × K)."""
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(MINHASH_K - 1))).alias("seed")
+    hashed = sh.select("doc_id", "shingle", seeds).select(
+        "doc_id",
+        "seed",
+        _md5int(
+            F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("shingle"))
+        ).alias("h"),
+    )
+    return hashed.groupBy("doc_id", "seed").agg(F.min("h").alias("minhash"))
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs: docs sharing ≥1 MinHash band. This is the
+    dedup scale path — no pairwise join over shingles, only over tiny
+    band keys."""
+    docs = _load_docs(spark, sf_dir)
+    sig = minhash_signatures(shingles(docs))
+    bands = (
+        sig.withColumn("band", (F.col("seed") / F.lit(LSH_BAND_ROWS)).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
+                        lambda s: s["minhash"].cast("string"),
+                    ),
+                    "|",
+                )
+            ).alias("band_key")
+        )
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(b, ["band", "band_key"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
+
+
+ORACLE_DEDUP_MINHASH = f"""
+WITH tok AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(CASE WHEN len(t) >= 3
+                THEN list_transform(generate_series(1, len(t) - 2),
+                                    i -> array_to_string(list_slice(t, i, i + 2), ' '))
+                ELSE [array_to_string(t, ' ')] END) AS shingle
+  FROM tok),
+hashed AS (
+  SELECT doc_id, seed,
+         (('0x' || substr(md5(seed || '|' || shingle), 1, 15))::bigint) AS h
+  FROM sh, generate_series(0, {MINHASH_K - 1}) AS g(seed)),
+sig AS (SELECT doc_id, seed, min(h) AS minhash FROM hashed GROUP BY 1, 2),
+bands AS (
+  SELECT doc_id, (seed // {LSH_BAND_ROWS}) AS band,
+         md5(string_agg(minhash::varchar, '|' ORDER BY seed)) AS band_key
+  FROM sig GROUP BY doc_id, (seed // {LSH_BAND_ROWS}))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
+FROM bands a JOIN bands b USING (band, band_key)
+WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+"""
+
+
+# --- SimHash ------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash sketch per document from distinct-token hashes:
+    bit b of the sketch = sign of Σ_tokens (±1 from bit b of md5(token))."""
+    docs = _load_docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("token"),
+    ).where(F.col("token") != "")
+    tok_hash = toks.select("doc_id", _md5int(F.col("token")).alias("h"))
+    bits = tok_hash.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("b"),
+        "h",
+    ).select(
+        "doc_id",
+        "b",
+        (F.expr("shiftright(h, b)").bitwiseAND(F.lit(1)) * 2 - 1).alias("v"),
+    )
+    return (
+        bits.groupBy("doc_id", "b")
+        .agg(F.sum("v").alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("s") >= 0, F.expr("shiftleft(cast(1 as bigint), b)")).otherwise(0)
+            ).alias("simhash")
+        )
+    )
+
+
+ORACLE_DEDUP_SIMHASH = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest(str_split(text, ' ')) AS token FROM documents),
+th AS (
+  SELECT doc_id, (('0x' || substr(md5(token), 1, 15))::bigint) AS h
+  FROM toks WHERE token <> ''),
+bits AS (
+  SELECT doc_id, b, sum(((h >> b) & 1) * 2 - 1) AS s
+  FROM th, generate_series(0, {SIMHASH_BITS - 1}) AS g(b)
+  GROUP BY doc_id, b)
+SELECT doc_id,
+       sum(CASE WHEN s >= 0 THEN (1::bigint << b) ELSE 0 END) AS simhash
+FROM bits GROUP BY doc_id
+"""
+
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+}
+
+ORACLE_SQL = {
+    "dedup_exact": ORACLE_DEDUP_EXACT,
+    "dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM,
+    "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH,
+    "dedup_simhash": ORACLE_DEDUP_SIMHASH,
+}

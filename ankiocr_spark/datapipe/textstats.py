@@ -1,0 +1,132 @@
+"""Text-analysis operators: language-ID, quality scoring, token counting,
+document fingerprinting. All pure JVM-side expressions (whole-stage
+codegen, no Python) with exact DuckDB oracles."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: function-word markers for the n-gram/stopword language heuristic
+EN_MARKERS = ("the", "a", "row", "line")
+
+#: BPE-ish pre-tokenization: letter runs | digit runs | single non-space symbol
+BPE_REGEX = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+LANG_RATIO_THRESHOLD = 0.04
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: ratio of English function-word tokens.
+    (A real model would be a pandas UDF; the heuristic keeps this JVM-side
+    and oracle-checkable — the plumbing is what transfers to 100 TB.)"""
+    docs = _docs(spark, sf_dir)
+    tokens = F.split("text", " ")
+    markers = F.size(
+        F.filter(tokens, lambda x: x.isin(*EN_MARKERS))
+    )
+    ratio = F.round(markers / F.size(tokens), 6)
+    return docs.select(
+        "doc_id",
+        "lang",
+        ratio.alias("marker_ratio"),
+        F.when(ratio >= LANG_RATIO_THRESHOLD, F.lit("en-like"))
+        .otherwise(F.lit("other"))
+        .alias("predicted"),
+    )
+
+
+_MARKER_LIST = "[" + ", ".join(f"'{m}'" for m in EN_MARKERS) + "]"
+
+ORACLE_LANG_ID = f"""
+SELECT doc_id, lang,
+       round(len(list_filter(str_split(text, ' '), x -> list_contains({_MARKER_LIST}, x)))
+             / len(str_split(text, ' ')), 6) AS marker_ratio,
+       CASE WHEN round(len(list_filter(str_split(text, ' '), x -> list_contains({_MARKER_LIST}, x)))
+                       / len(str_split(text, ' ')), 6) >= {LANG_RATIO_THRESHOLD}
+            THEN 'en-like' ELSE 'other' END AS predicted
+FROM documents
+"""
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score from length + lexical-diversity ratios —
+    the standard cheap pre-filter before expensive pipeline stages."""
+    docs = _docs(spark, sf_dir)
+    tokens = F.split("text", " ")
+    n_tokens = F.size(tokens)
+    distinct_ratio = F.size(F.array_distinct(tokens)) / n_tokens
+    quality = F.round(
+        0.4 * F.least(F.lit(1.0), n_tokens / F.lit(100.0)) + 0.6 * distinct_ratio, 6
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(distinct_ratio, 6).alias("distinct_ratio"),
+        quality.alias("quality"),
+    )
+
+
+ORACLE_QUALITY = """
+SELECT doc_id,
+       len(str_split(text, ' ')) AS n_tokens,
+       round(len(list_distinct(str_split(text, ' '))) / len(str_split(text, ' ')), 6) AS distinct_ratio,
+       round(0.4 * least(1.0, len(str_split(text, ' ')) / 100.0)
+           + 0.6 * (len(list_distinct(str_split(text, ' '))) / len(str_split(text, ' '))), 6) AS quality
+FROM documents
+"""
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokens + BPE-ish pre-tokens per document."""
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        F.size(F.filter(F.split("text", " "), lambda x: x != "")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_REGEX), 0)).alias("bpe_tokens"),
+    )
+
+
+ORACLE_TOKEN_COUNT = f"""
+SELECT doc_id,
+       len(list_filter(str_split(text, ' '), x -> x <> '')) AS ws_tokens,
+       len(regexp_extract_all(text, '{BPE_REGEX}')) AS bpe_tokens
+FROM documents
+"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic document fingerprint: hash of normalized prefix +
+    length — the cheap first-pass near-dup key (rolling-hash analog)."""
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        F.md5(
+            F.concat(F.substring("text", 1, 64), F.lit(":"), F.length("text").cast("string"))
+        ).alias("fingerprint"),
+    )
+
+
+ORACLE_FINGERPRINT = """
+SELECT doc_id, md5(substr(text, 1, 64) || ':' || length(text)) AS fingerprint
+FROM documents
+"""
+
+
+QUERIES = {
+    "lang_id": q_lang_id,
+    "quality_score": q_quality_score,
+    "token_count": q_token_count,
+    "doc_fingerprint": q_fingerprint,
+}
+
+ORACLE_SQL = {
+    "lang_id": ORACLE_LANG_ID,
+    "quality_score": ORACLE_QUALITY,
+    "token_count": ORACLE_TOKEN_COUNT,
+    "doc_fingerprint": ORACLE_FINGERPRINT,
+}

@@ -1,0 +1,375 @@
+"""SURVEY.md §2 operator inventory as DuckDB-checkable queries.
+
+Each entry is one operator row from the inventory, expressed Spark-first
+(declarative DataFrame ops; Catalyst does pushdown/pruning/join selection)
+over the driver-provided tables at /root/testdata/sf*. The paired ORACLE_SQL
+is ANSI SQL for DuckDB over the same parquet views; column names/aliases
+match exactly (driver hashes values after sorting columns by name).
+
+The flagship query wraps `documents.text` into a deterministic HTML page
+IN-FLIGHT (no external data) and runs the real extraction kernel over the
+binary column — so the correctness gate exercises the actual mapInPandas
+hot path, with a closed-form oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .config import ExtractConfig
+from .job import run_extract
+
+# --- deterministic in-flight HTML wrap (flagship input) --------------------
+
+H1_TEXT = "Synthetic Document Page"
+
+WRAP_PREFIX = (
+    '<html><head><style>x{}</style><script>var junk=1;</script></head><body>'
+    '<nav><ul><li><a href="/">home</a></li><li><a href="/about">about</a></li></ul></nav>'
+    f"<h1>{H1_TEXT}</h1><p>"
+)
+WRAP_SUFFIX = (
+    '</p><div class="farm"><a href="/a">alpha beta</a> <a href="/b">gamma delta</a>'
+    ' <a href="/c">epsilon zeta</a></div>'
+    "<footer><p>copyright notice</p></footer></body></html>"
+)
+
+URL_PREFIX = "https://example.org/doc/"
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def docs_as_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents(doc_id, text, lang, ...) → pages(url, html BINARY, lang):
+    the input_hint shape synthesized in-flight, deterministically."""
+    return load(spark, sf_dir, "documents").select(
+        F.concat(F.lit(URL_PREFIX), F.col("doc_id").cast("string")).alias("url"),
+        F.encode(
+            F.concat(F.lit(WRAP_PREFIX), F.col("text"), F.lit(WRAP_SUFFIX)), "utf-8"
+        ).alias("html"),
+        F.col("lang"),
+    )
+
+
+# --- §2 row 9/12: the flagship fused kernel ---------------------------------
+
+def q_flagship_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = docs_as_pages(spark, sf_dir)
+    out = run_extract(spark, pages, ExtractConfig(salt_buckets=8))
+    return out.select("url", "extracted_text").orderBy("url")
+
+
+#: kernel spec on the wrapped page: nav/script/style/footer pruned, link-farm
+#: dropped by link density, h1 + body paragraph kept (paragraph only if it
+#: clears MIN_TEXT_CHARS=25).
+ORACLE_FLAGSHIP = f"""
+SELECT '{URL_PREFIX}' || doc_id AS url,
+       CASE WHEN length(trim(text)) >= 25
+            THEN '{H1_TEXT}' || chr(10) || trim(text)
+            ELSE '{H1_TEXT}' END AS extracted_text
+FROM documents ORDER BY url
+"""
+
+
+# --- §2 rows 1-2: source scan + id-list semi-join ---------------------------
+
+def q_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # full-table scan with projection (the `select * from notes` id-list,
+    # scripts/run_ocr.py:19) — Catalyst prunes the parquet ReadSchema.
+    return load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+
+
+def q_semi_join_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NotesQuery(col, note_ids) analog (api.py:252-268): select rows whose
+    # key is in a query-provided id set — left-semi join, broadcast by AQE.
+    docs = load(spark, sf_dir, "documents")
+    ids = docs.select("doc_id").where(F.col("doc_id") % 17 == 0)
+    return (
+        docs.join(ids.hint("broadcast"), "doc_id", "left_semi")
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+# --- §2 rows 5-6: whitelist + validity filters ------------------------------
+
+def q_filter_whitelist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # format-whitelist filter (api.py:39,64) recast over events.event_type
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.where(F.col("event_type").isin("click", "view", "purchase"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+    )
+
+
+def q_validity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # existence/validity predicates before the kernel (api.py:50-62):
+    # non-null, non-empty, sane length
+    docs = load(spark, sf_dir, "documents")
+    return docs.where(
+        F.col("text").isNotNull()
+        & (F.length("text") > 0)
+        & (F.col("n_chars") == F.length("text"))
+        & (F.col("n_chars") >= 100)
+    ).select("doc_id", "n_chars")
+
+
+# --- §2 rows 4/7: explode / unnest ------------------------------------------
+
+def q_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # notes→fields→images flatten (ocr.py:192-199) as explode of parsed
+    # children; here: document → token rows → frequency table
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+# --- §2 row 10: positional split + rejoin ------------------------------------
+
+def q_positional_rejoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the batch-result split + positional zip (ocr.py:151-161): posexplode,
+    # keep first 5 positions, positional re-join via ordered re-aggregation
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+    ).where(F.col("pos") < 5)
+    return (
+        tok.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "token"))),
+                    lambda s: s["token"],
+                ),
+                " ",
+            ).alias("first5")
+        )
+    )
+
+
+# --- §2 row 11: key-lookup rejoin (broadcast hash join) ----------------------
+
+def q_broadcast_rejoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # dict-lookup rejoin of results to work items (ocr.py:163-173) → join
+    # against a small per-key dim, explicitly broadcast
+    docs = load(spark, sf_dir, "documents")
+    dim = docs.groupBy("lang").agg(F.count("*").alias("lang_total"))
+    return (
+        docs.join(F.broadcast(dim), "lang")
+        .select("doc_id", "lang", "lang_total")
+    )
+
+
+# --- §2 row 16: group-by string aggregation ("new_field" writeback) ----------
+
+def q_group_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-note concat of per-image texts (api.py:237-247): deterministic
+    # order by key, newline→<br/> analog separator
+    docs = load(spark, sf_dir, "documents")
+    snip = docs.select(
+        "lang",
+        "doc_id",
+        F.concat(
+            F.lit("Doc: "), F.col("doc_id").cast("string"), F.lit("\n"),
+            F.lit("-" * 20), F.lit("\n"), F.substring("text", 1, 40)
+        ).alias("snippet"),
+    )
+    return snip.groupBy("lang").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("doc_id", "snippet"))),
+                lambda s: F.replace(s["snippet"], F.lit("\n"), F.lit("<br/>")),
+            ),
+            "<br/>",
+        ).alias("ocr_field")
+    )
+
+
+# --- §2 row 17: skip-empties filter on results --------------------------------
+
+def q_filter_empty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # `if ocr_img.text != ""` (api.py:244) over real kernel output
+    pages = docs_as_pages(spark, sf_dir)
+    out = run_extract(spark, pages, ExtractConfig(salt_buckets=8))
+    return (
+        out.where(
+            F.col("extracted_text").isNotNull() & (F.col("extracted_text") != "")
+        )
+        .select("url", F.length("extracted_text").alias("extract_len"))
+    )
+
+
+# --- §2 rows 13-14: schema evolution / devolution -----------------------------
+
+def q_schema_evolution_add(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ADD COLUMN (create_OCR_notemodel, api.py:196-214): append the computed
+    # column after the existing schema
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    ).withColumn(
+        "extracted_text",
+        F.concat(F.lit(H1_TEXT), F.lit("\n"), F.trim("text")),
+    ).select("doc_id", "lang", "extracted_text")
+
+
+def q_schema_devolution_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DROP COLUMN (create_orig_notemodel, api.py:216-223)
+    docs = load(spark, sf_dir, "documents")
+    evolved = docs.withColumn("extracted_text", F.lit("x"))
+    return evolved.drop("extracted_text", "source", "n_chars")
+
+
+# --- §2 row 12: the scalar cleaner as a relational expression -----------------
+
+def q_clean_text_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # clean_ocr_text (ocr.py:141-149) in pure Spark SQL, applied to a
+    # newline-shaped derivation of text (space→newline), so line-strip,
+    # blank-drop and colon-collapse all execute
+    docs = load(spark, sf_dir, "documents")
+    nl_text = F.concat(
+        F.lit("  head::line  \n\n"),
+        F.replace(F.col("text"), F.lit(" "), F.lit("\n")),
+        F.lit("\n:::\n"),
+    )
+    cleaned = F.regexp_replace(
+        F.array_join(
+            F.filter(
+                F.transform(F.split(nl_text, "\n"), lambda x: F.trim(x)),
+                lambda x: x != "",
+            ),
+            "\n",
+        ),
+        ":+",
+        ":",
+    )
+    return docs.select("doc_id", cleaned.alias("cleaned"))
+
+
+# --- §2 row 18: inverse job (remove extracted data) ---------------------------
+
+def q_remove_extracts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # UPDATE ... SET NULL WHERE key IN (...) (remove_ocr_on_notes,
+    # ocr.py:263-273) applied to real kernel output
+    pages = docs_as_pages(spark, sf_dir)
+    out = run_extract(spark, pages, ExtractConfig(salt_buckets=8))
+    return out.select(
+        "url",
+        F.when(
+            F.substring("url", len(URL_PREFIX) + 1, 100).cast("long") % 7 == 0,
+            F.lit(None).cast("string"),
+        )
+        .otherwise(F.col("extracted_text"))
+        .alias("extracted_text"),
+    )
+
+
+# --- §2 row 20: metrics / counters readout ------------------------------------
+
+def q_run_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-run progress metrics (ocr.py:84-109, gui.py:70-76) as a stats query
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("docs_done"),
+        F.sum("n_chars").alias("chars_total"),
+        F.round(F.avg("n_chars"), 4).alias("chars_per_doc"),
+    )
+
+
+QUERIES = {
+    "flagship_extract": q_flagship_extract,
+    "scan_project": q_scan_project,
+    "semi_join_ids": q_semi_join_ids,
+    "filter_whitelist": q_filter_whitelist,
+    "validity_filter": q_validity_filter,
+    "explode_tokens": q_explode_tokens,
+    "positional_rejoin": q_positional_rejoin,
+    "broadcast_rejoin": q_broadcast_rejoin,
+    "group_concat": q_group_concat,
+    "filter_empty": q_filter_empty,
+    "schema_evolution_add": q_schema_evolution_add,
+    "schema_devolution_drop": q_schema_devolution_drop,
+    "clean_text_sql": q_clean_text_sql,
+    "remove_extracts": q_remove_extracts,
+    "run_metrics": q_run_metrics,
+}
+
+ORACLE_SQL = {
+    "flagship_extract": ORACLE_FLAGSHIP,
+    "scan_project": "SELECT doc_id, lang, n_chars FROM documents",
+    "semi_join_ids": (
+        "SELECT doc_id, lang, n_chars FROM documents "
+        "WHERE doc_id IN (SELECT doc_id FROM documents WHERE doc_id % 17 = 0)"
+    ),
+    "filter_whitelist": (
+        "SELECT event_type, count(*) AS n, round(sum(value), 4) AS total_value "
+        "FROM events WHERE event_type IN ('click','view','purchase') "
+        "GROUP BY event_type"
+    ),
+    "validity_filter": (
+        "SELECT doc_id, n_chars FROM documents "
+        "WHERE text IS NOT NULL AND length(text) > 0 "
+        "AND n_chars = length(text) AND n_chars >= 100"
+    ),
+    "explode_tokens": (
+        "SELECT token, count(*) AS cnt FROM ("
+        "  SELECT unnest(str_split(text, ' ')) AS token FROM documents"
+        ") WHERE token <> '' GROUP BY token"
+    ),
+    "positional_rejoin": (
+        "SELECT doc_id, "
+        "array_to_string(list_slice(str_split(text, ' '), 1, 5), ' ') AS first5 "
+        "FROM documents"
+    ),
+    "broadcast_rejoin": (
+        "SELECT d.doc_id, d.lang, s.lang_total FROM documents d "
+        "JOIN (SELECT lang, count(*) AS lang_total FROM documents GROUP BY lang) s "
+        "USING (lang)"
+    ),
+    "group_concat": (
+        "SELECT lang, string_agg("
+        "  replace('Doc: ' || doc_id || chr(10) || repeat('-', 20) || chr(10) "
+        "          || substr(text, 1, 40), chr(10), '<br/>'), "
+        "  '<br/>' ORDER BY doc_id) AS ocr_field "
+        "FROM documents GROUP BY lang"
+    ),
+    "filter_empty": (
+        f"SELECT '{URL_PREFIX}' || doc_id AS url, "
+        f"length(CASE WHEN length(trim(text)) >= 25 "
+        f"       THEN '{H1_TEXT}' || chr(10) || trim(text) "
+        f"       ELSE '{H1_TEXT}' END) AS extract_len "
+        "FROM documents"
+    ),
+    "schema_evolution_add": (
+        f"SELECT doc_id, lang, '{H1_TEXT}' || chr(10) || trim(text) AS extracted_text "
+        "FROM documents"
+    ),
+    "schema_devolution_drop": "SELECT doc_id, text, lang FROM documents",
+    "clean_text_sql": (
+        "SELECT doc_id, regexp_replace(array_to_string(list_filter(list_transform("
+        "  str_split('  head::line  ' || chr(10) || chr(10) || "
+        "            replace(text, ' ', chr(10)) || chr(10) || ':::' || chr(10), "
+        "            chr(10)), x -> trim(x)), x -> x <> ''), chr(10)), "
+        "  ':+', ':', 'g') AS cleaned "
+        "FROM documents"
+    ),
+    "remove_extracts": (
+        f"SELECT '{URL_PREFIX}' || doc_id AS url, "
+        f"CASE WHEN doc_id % 7 = 0 THEN NULL "
+        f"     WHEN length(trim(text)) >= 25 "
+        f"     THEN '{H1_TEXT}' || chr(10) || trim(text) "
+        f"     ELSE '{H1_TEXT}' END AS extracted_text "
+        "FROM documents"
+    ),
+    "run_metrics": (
+        "SELECT lang, count(*) AS docs_done, sum(n_chars) AS chars_total, "
+        "round(avg(n_chars), 4) AS chars_per_doc FROM documents GROUP BY lang"
+    ),
+}

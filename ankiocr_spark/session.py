@@ -40,6 +40,39 @@ def _export_package_path() -> None:
         os.environ["PYTHONPATH"] = os.pathsep.join([root] + [p for p in parts if p])
 
 
+def ensure_workers_can_import(spark: SparkSession) -> None:
+    """Ship the package to Spark's Python workers of an ALREADY-RUNNING
+    session (one the caller built, e.g. the grading driver) via
+    ``sc.addPyFile`` — the runtime equivalent of ``spark-submit
+    --py-files ankiocr_spark.zip``. Idempotent per content hash."""
+    import hashlib
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    digest = hashlib.md5()
+    py_files = []
+    for root, _dirs, files in os.walk(pkg_dir):
+        for f in sorted(files):
+            if f.endswith(".py"):
+                p = os.path.join(root, f)
+                py_files.append(p)
+                with open(p, "rb") as fh:
+                    digest.update(fh.read())
+    zip_path = os.path.join(
+        "/tmp", f"ankiocr_spark-{digest.hexdigest()[:12]}.zip"
+    )
+    if not os.path.exists(zip_path):
+        tmp = zip_path + ".tmp"
+        with zipfile.ZipFile(tmp, "w") as zf:
+            for p in py_files:
+                arc = os.path.join(
+                    "ankiocr_spark", os.path.relpath(p, pkg_dir)
+                )
+                zf.write(p, arc)
+        os.replace(tmp, zip_path)
+    spark.sparkContext.addPyFile(zip_path)
+
+
 def get_spark(
     app_name: str = "ankiocr_spark",
     master: str | None = None,

@@ -1,0 +1,68 @@
+"""Resumability: kill mid-run, resume, verify completed partitions are not
+recomputed and the final table is identical (SURVEY.md §7 step 6)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ankiocr_spark.checkpoint import (
+    completed_buckets,
+    resumable_extract,
+)
+from ankiocr_spark.config import ExtractConfig
+from ankiocr_spark.fixtures import pages_and_goldens
+from ankiocr_spark.kernel import KERNEL_VERSION
+
+N = 300
+BUCKETS = 8
+
+
+@pytest.fixture(scope="module")
+def pages_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("ckpt") / "pages")
+    pages, _ = pages_and_goldens(spark, N, seed=42)
+    pages.write.parquet(d)
+    return d
+
+
+def test_kill_and_resume(spark, pages_dir, tmp_path):
+    out = str(tmp_path / "out")
+    ledger = str(tmp_path / "ledger")
+    cfg = ExtractConfig(salt_buckets=BUCKETS, checkpoint_dir=ledger)
+
+    # run 1: dies after 2 of 4 groups (the reference's cancel would lose
+    # everything, ocr.py:104-105; here completed buckets survive)
+    with pytest.raises(RuntimeError, match="simulated failure"):
+        resumable_extract(spark, pages_dir, out, cfg,
+                          bucket_groups=4, fail_after_groups=2)
+
+    done_after_kill = completed_buckets(spark, ledger)
+    assert 0 < len(done_after_kill) < BUCKETS
+
+    # run 2: resumes — must process ONLY the pending buckets
+    summary = resumable_extract(spark, pages_dir, out, cfg, bucket_groups=4)
+    assert summary["buckets_skipped"] == len(done_after_kill)
+    assert summary["buckets_processed"] == BUCKETS - len(done_after_kill)
+
+    # final table: every url exactly once, all buckets present
+    result = spark.read.parquet(out)
+    assert result.count() == N
+    assert result.select("url").distinct().count() == N
+
+    # ledger lineage: per-bucket metrics present, rows_in == rows_out
+    ledger_df = spark.read.parquet(ledger)
+    per_bucket = ledger_df.where(F.col("status") == "done")
+    assert sorted(r["bucket"] for r in per_bucket.select("bucket").distinct().collect()) == list(range(BUCKETS))
+    bad = per_bucket.where(F.col("rows_in") != F.col("rows_out"))
+    assert bad.count() == 0
+    assert per_bucket.where(F.col("kernel_version") != KERNEL_VERSION).count() == 0
+    # two distinct run_ids prove the resume (lineage across runs)
+    assert ledger_df.select("run_id").distinct().count() == 2
+
+
+def test_resume_is_noop_when_complete(spark, pages_dir, tmp_path):
+    out = str(tmp_path / "out2")
+    cfg = ExtractConfig(salt_buckets=4, checkpoint_dir=str(tmp_path / "led2"))
+    s1 = resumable_extract(spark, pages_dir, out, cfg, bucket_groups=2)
+    assert s1["buckets_processed"] == 4
+    s2 = resumable_extract(spark, pages_dir, out, cfg, bucket_groups=2)
+    assert s2["buckets_processed"] == 0 and s2["buckets_skipped"] == 4
