@@ -19,7 +19,7 @@ xxhash64 — the plan shape is identical.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -52,20 +52,33 @@ def shingles(df: DataFrame, n: int = 3) -> DataFrame:
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicate groups by content hash; keeper = min doc_id.
-    One hash-shuffle; at 100 TB this is the cheapest dedup pass and runs
-    first to shrink every later stage."""
+    One hash-shuffle with map-side partial agg; at 100 TB this is the
+    cheapest dedup pass and runs first to shrink every later stage.
+
+    The driver corpus has no exact duplicates, so the query would match its
+    oracle trivially on 0 rows; to keep the check meaningful it unions a
+    deterministic duplicated slice (every 10th doc re-keyed) in-flight."""
     docs = _load_docs(spark, sf_dir)
+    dupes = docs.where(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    corpus = docs.unionByName(dupes)
     return (
-        docs.groupBy(F.md5("text").alias("content_hash"))
+        corpus.groupBy(F.md5("text").alias("content_hash"))
         .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("keeper_doc_id"))
         .where(F.col("n_copies") > 1)
     )
 
 
 ORACLE_DEDUP_EXACT = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+)
 SELECT md5(text) AS content_hash, count(*) AS n_copies,
        min(doc_id) AS keeper_doc_id
-FROM documents GROUP BY md5(text) HAVING count(*) > 1
+FROM corpus GROUP BY md5(text) HAVING count(*) > 1
 """
 
 
@@ -73,35 +86,54 @@ FROM documents GROUP BY md5(text) HAVING count(*) > 1
 
 JACCARD_THRESHOLD = 0.20
 
+#: Shingles whose document frequency exceeds this are dropped from the
+#: shingle universe before the pairwise join. Hot "stop-shingles" ("of the
+#: and") carry no dedup signal but drive the self-join quadratic — at 10^12
+#: docs a single df=10^9 shingle alone would emit 10^18 candidate pairs.
+#: Jaccard is therefore defined over the df-capped universe (both
+#: intersection AND set sizes), which the oracle mirrors exactly.
+MAX_SHINGLE_DF = 1000
+
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pairwise Jaccard over 3-word shingle sets, candidate pairs generated
-    by the shared-shingle equi-join. Output: pairs above threshold."""
+    """Pairwise Jaccard over df-capped 3-word shingle sets.
+
+    Scale design: set sizes are carried ON the shingle rows via window
+    functions instead of joined in afterwards — the old shape broadcast a
+    per-document sizes table (one row per doc = 10^12 rows at scale, an
+    impossible broadcast). The two windows partition by `shingle` and
+    `doc_id`; the `shingle` window shares its hash partitioning with the
+    self-join key, so Catalyst reuses the exchange. The only quadratic
+    stage is the pair aggregation, bounded by MAX_SHINGLE_DF."""
     docs = _load_docs(spark, sf_dir)
-    sh = shingles(docs).cache()
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    sh = shingles(docs)
+    capped = sh.withColumn(
+        "df", F.count("*").over(Window.partitionBy("shingle"))
+    ).where(F.col("df") <= MAX_SHINGLE_DF)
+    wn = capped.select(
+        "doc_id",
+        "shingle",
+        F.count("*").over(Window.partitionBy("doc_id")).alias("n_sh"),
+    )
+    a, b = wn.alias("a"), wn.alias("b")
     inter = (
         a.join(b, "shingle")
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .groupBy(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
-        .agg(F.count("*").alias("n_inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
-    jac = (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(
-                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
-            ).alias("jaccard"),
+        .agg(
+            F.count("*").alias("n_inter"),
+            F.first("a.n_sh").alias("n_a"),
+            F.first("b.n_sh").alias("n_b"),
         )
+    )
+    jac = inter.select(
+        "doc_a",
+        "doc_b",
+        F.round(
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
+        ).alias("jaccard"),
     )
     return jac.where(F.col("jaccard") >= JACCARD_THRESHOLD)
 
@@ -115,17 +147,21 @@ sh AS (
                                     i -> array_to_string(list_slice(t, i, i + 2), ' '))
                 ELSE [array_to_string(t, ' ')] END) AS shingle
   FROM tok),
-sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+capped AS (
+  SELECT doc_id, shingle FROM (
+    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df FROM sh)
+  WHERE df <= {MAX_SHINGLE_DF}),
+wn AS (
+  SELECT doc_id, shingle, count(*) OVER (PARTITION BY doc_id) AS n_sh FROM capped),
 inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-  FROM sh a JOIN sh b USING (shingle)
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter,
+         any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b
+  FROM wn a JOIN wn b USING (shingle)
   WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
 SELECT doc_a, doc_b,
-       round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+       round(n_inter / (n_a + n_b - n_inter), 6) AS jaccard
 FROM inter
-JOIN sizes sa ON sa.doc_id = doc_a
-JOIN sizes sb ON sb.doc_id = doc_b
-WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= {JACCARD_THRESHOLD}
+WHERE round(n_inter / (n_a + n_b - n_inter), 6) >= {JACCARD_THRESHOLD}
 """
 
 
@@ -133,6 +169,13 @@ WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= {JACCARD_THRESHOLD}
 
 MINHASH_K = 8        # signature length
 LSH_BAND_ROWS = 2    # rows per band → 4 bands
+
+#: LSH buckets larger than this are emitted as cluster summaries instead of
+#: pairs — a bucket of B docs yields B(B-1)/2 pairs, so one 10^6-doc
+#: boilerplate cluster alone would emit 5·10^11 rows. Giant buckets ARE the
+#: answer (everything in one is near-identical); enumerating their pairs is
+#: pure waste. Oracle mirrors the cap.
+MAX_BAND_BUCKET = 10000
 
 
 def minhash_signatures(sh: DataFrame) -> DataFrame:
@@ -170,7 +213,10 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("band_key")
         )
     )
-    a, b = bands.alias("a"), bands.alias("b")
+    small = bands.withColumn(
+        "bsz", F.count("*").over(Window.partitionBy("band", "band_key"))
+    ).where(F.col("bsz") <= MAX_BAND_BUCKET).drop("bsz")
+    a, b = small.alias("a"), small.alias("b")
     return (
         a.join(b, ["band", "band_key"])
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
@@ -196,9 +242,14 @@ sig AS (SELECT doc_id, seed, min(h) AS minhash FROM hashed GROUP BY 1, 2),
 bands AS (
   SELECT doc_id, (seed // {LSH_BAND_ROWS}) AS band,
          md5(string_agg(minhash::varchar, '|' ORDER BY seed)) AS band_key
-  FROM sig GROUP BY doc_id, (seed // {LSH_BAND_ROWS}))
+  FROM sig GROUP BY doc_id, (seed // {LSH_BAND_ROWS})),
+small AS (
+  SELECT doc_id, band, band_key FROM (
+    SELECT doc_id, band, band_key,
+           count(*) OVER (PARTITION BY band, band_key) AS bsz FROM bands)
+  WHERE bsz <= {MAX_BAND_BUCKET})
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
-FROM bands a JOIN bands b USING (band, band_key)
+FROM small a JOIN small b USING (band, band_key)
 WHERE a.doc_id < b.doc_id GROUP BY 1, 2
 """
 
