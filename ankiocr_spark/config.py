@@ -19,8 +19,9 @@ OUTPUT_MODES = ("text_column", "spans")  # api.py:67 assert analog
 class ExtractConfig:
     #: Arrow rows per batch handed to the kernel — the analog of the
     #: reference's ``batch_size`` (config.json:2; manifest batching at
-    #: utils.py:36-43). HTML payloads are large, so keep batches small.
-    batch_rows: int = 512
+    #: utils.py:36-43). 1024 measured best on ~0.5 KB pages; jumbo
+    #: payloads are bounded separately by MAX_HTML_BYTES truncation.
+    batch_rows: int = 1024
 
     #: languages to process (ISO 639-2, like config.json:3); None = all.
     lang_filter: Optional[List[str]] = None
@@ -36,6 +37,22 @@ class ExtractConfig:
     #: salted-repartition bucket count (north_rule skew handling); also the
     #: output partition key, so re-runs and merges are partition-local.
     salt_buckets: int = 32
+
+    #: pre-kernel salted repartition. Default OFF: the extract stage is
+    #: map-only and on healthy layouts input splits already balance it, so
+    #: shuffling the binary html payload is an ~18% pure tax
+    #: (BENCH/scaling.json benign_layout_shuffle_cost_frac). Turn ON for
+    #: pathological dumps — few giant unsplittable files — where it gives
+    #: 2.8x (BENCH/scaling.json skew_ablation), or when the output must be
+    #: physically clustered by bucket ahead of a wide op.
+    presalt_shuffle: bool = False
+
+    #: parquet split sizing for the scan feeding the kernel. None (default)
+    #: keeps Spark's parallelism-derived sizing, which adapts the task
+    #: decomposition to the cluster width and measured fastest at BOTH
+    #: tested widths (BENCH/scaling.json grid); set explicitly only to
+    #: chase a known bad layout (e.g. a few giant splittable files).
+    max_split_mb: Optional[int] = None
 
     #: per-partition checkpoint ledger location (None = no checkpointing).
     checkpoint_dir: Optional[str] = None

@@ -112,15 +112,18 @@ def gen_rows(
     malformed_every: int = 97,
     null_every: int = 89,
     boiler_every: int = 83,
+    start: int = 0,
 ) -> Iterator[dict]:
-    """Yield page rows + goldens. Deterministic in (n, seed, knobs).
+    """Yield page rows + goldens. Deterministic in (n, seed, knobs, start).
 
     Row mix mirrors FIXTURES.md §1: ~1% jumbo (skew), malformed rows
     (error-quarantine path), null-html rows, boilerplate-only rows
-    (empty-extract path, api.py:244 analog).
+    (empty-extract path, api.py:244 analog). ``start`` offsets the id space
+    so sharded generators (one seed per shard) emit globally unique urls.
     """
     rng = random.Random(seed)
-    for i in range(n):
+    for j in range(n):
+        i = start + j
         url = f"https://example.org/page/{i:08d}"
         warc_ts = EPOCH + _dt.timedelta(seconds=i)
         lang = _LANGS[i % len(_LANGS)]

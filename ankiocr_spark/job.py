@@ -105,11 +105,22 @@ def run_extract(
     spark.conf.set(
         "spark.sql.execution.arrow.maxRecordsPerBatch", str(cfg.batch_rows)
     )
+    if cfg.max_split_mb:
+        # same task decomposition at every cluster size; several waves per
+        # core so jumbo-page skew amortizes without any shuffle
+        spark.conf.set(
+            "spark.sql.files.maxPartitionBytes", str(cfg.max_split_mb << 20)
+        )
+        spark.conf.set(
+            "spark.sql.files.openCostInBytes", str(max(1, cfg.max_split_mb // 4) << 20)
+        )
     if cfg.lang_filter:
         pages = pages.where(F.col("lang").isin(cfg.lang_filter))
 
     projected = pages.select("url", "html")
-    part = salted(projected, cfg.salt_buckets)
+    # map-only hot path: no pre-kernel shuffle unless explicitly requested
+    # (skew is handled by split sizing above; see ExtractConfig.presalt_shuffle)
+    part = salted(projected, cfg.salt_buckets) if cfg.presalt_shuffle else projected
 
     if cfg.output_mode == "spans":
         out = part.select("url", "html").mapInPandas(_spans_batches, SPANS_SCHEMA)

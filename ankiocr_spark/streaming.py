@@ -1,0 +1,138 @@
+"""Incremental crawl ingest — Structured Streaming over the pages table.
+
+The reference is strictly batch (SURVEY.md §2.1: no streaming surface);
+its closest analog is the between-batch progress/cancel poll
+(/root/reference/src/anki_ocr/ocr.py:96-107), which resumes NOTHING on
+restart. This module is the scale-path generalization: a continuously
+arriving crawl dump (new parquet files landing in a directory, the way
+Common-Crawl segments land in object storage) is processed incrementally
+with exactly-once file-level semantics from Spark's streaming checkpoint —
+the engine-level complement to the per-partition batch ledger in
+``checkpoint.py``.
+
+Design notes for the 100 TB deployment:
+
+- the fused kernel is the SAME ``mapInPandas`` stage as the batch job
+  (job.py) — stateless per row, so it composes with streaming with no
+  watermark/state machinery;
+- ``maxFilesPerTrigger`` bounds per-micro-batch memory (html payloads are
+  large); on a cluster this is the knob that keeps Arrow batches resident
+  per executor rather than per dump;
+- the sink partitions by salt bucket exactly like the batch job, so the
+  downstream MERGE/compaction story is identical for both entry points;
+- ``Trigger.AvailableNow`` gives the batch-parity mode: drain everything
+  present, then stop — a resumable batch job driven by the streaming
+  checkpoint instead of the ledger.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from .config import ExtractConfig
+from .fixtures import PAGES_SCHEMA
+from .job import _extract_batches, EXTRACT_SCHEMA
+
+
+def stream_pages(
+    spark: SparkSession,
+    input_dir: str,
+    max_files_per_trigger: Optional[int] = None,
+) -> DataFrame:
+    """File-source stream of the pages table (schema = input_hint)."""
+    reader = spark.readStream.schema(PAGES_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(input_dir)
+
+
+def stream_extract_plan(pages: DataFrame, cfg: Optional[ExtractConfig] = None) -> DataFrame:
+    """The streaming extraction plan: same projection + fused kernel as the
+    batch job; the salt bucket is computed post-kernel for the partitioned
+    sink (a pre-kernel repartition would force a stateless shuffle per
+    micro-batch for no balance win — micro-batch file splits already bound
+    task size via maxFilesPerTrigger)."""
+    cfg = cfg or ExtractConfig()
+    out = pages.select("url", "html").mapInPandas(_extract_batches, EXTRACT_SCHEMA)
+    return out.withColumn(
+        "bucket",
+        F.pmod(F.xxhash64(F.col("url")), F.lit(cfg.salt_buckets)).cast("int"),
+    )
+
+
+def start_stream_extract(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    cfg: Optional[ExtractConfig] = None,
+    available_now: bool = True,
+    max_files_per_trigger: Optional[int] = None,
+) -> StreamingQuery:
+    """Launch the incremental extraction stream (append sink, partitioned
+    by bucket). With ``available_now`` it drains current files and stops —
+    call again after new dumps land and ONLY the new files process (the
+    resume test asserts this)."""
+    cfg = cfg or ExtractConfig()
+    spark.conf.set(
+        "spark.sql.execution.arrow.maxRecordsPerBatch", str(cfg.batch_rows)
+    )
+    pages = stream_pages(spark, input_dir, max_files_per_trigger)
+    plan = stream_extract_plan(pages, cfg)
+    writer = (
+        plan.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .partitionBy("bucket")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def run_stream_extract_available_now(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    cfg: Optional[ExtractConfig] = None,
+    timeout_sec: int = 300,
+) -> None:
+    """Drain-everything-and-stop convenience wrapper (batch parity mode)."""
+    q = start_stream_extract(
+        spark, input_dir, output_dir, checkpoint_dir, cfg, available_now=True
+    )
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(f"stream did not drain within {timeout_sec}s")
+
+
+def q_stream_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable entry (rows-only — the streaming trigger + file-
+    source checkpoint is not SQL-expressible): materialize a deterministic
+    pages dump, drain it with an availableNow trigger, return the sink."""
+    import tempfile
+
+    from .fixtures import write_pages_parquet
+
+    base = tempfile.mkdtemp(prefix="stream_q_")
+    input_dir = f"{base}/in"
+    write_pages_parquet(input_dir, 200, seed=42)
+    run_stream_extract_available_now(
+        spark, input_dir, f"{base}/out", f"{base}/ckpt",
+        ExtractConfig(salt_buckets=8, batch_rows=64),
+    )
+    return (
+        spark.read.parquet(f"{base}/out")
+        .select("url", "extracted_text", "n_blocks", "error")
+        .orderBy("url")
+    )
+
+
+QUERIES = {"stream_extract": q_stream_extract}
+ORACLE_SQL: dict = {}  # rows-only: streaming trigger semantics, no SQL analog

@@ -1,0 +1,71 @@
+"""Physical-plan audit: dump .explain("formatted") for the headline queries
+and grep for the scale-critical properties (SURVEY.md §4):
+
+- PushedFilters / ReadSchema on parquet scans (pushdown + column pruning)
+- BroadcastHashJoin where a small side exists; no accidental CartesianProduct
+- WholeStageCodegen spans around JVM-side expression work
+- AQE enabled (AdaptiveSparkPlan)
+
+Output -> docs/PLANS.md (checked in, regenerated per round).
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import sys
+from contextlib import redirect_stdout
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import __spark_entry__ as entry  # noqa: E402
+from ankiocr_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+AUDIT = [
+    "flagship_extract",
+    "scan_project",
+    "semi_join_ids",
+    "broadcast_rejoin",
+    "group_concat",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "ann_topk_bruteforce",
+    "token_count",
+]
+
+def plan_text(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def main() -> None:
+    spark = get_spark("plan-audit", master="local[4]", shuffle_partitions=8)
+    qs = entry.queries()
+    out = ["# Physical plans — headline queries (`.explain(\"formatted\")`)\n",
+           f"\nInput: `{SF_DIR}`. Regenerate with "
+           "`python scripts/audit_plans.py`.\n"]
+    for name in AUDIT:
+        df = qs[name](spark, SF_DIR)
+        txt = plan_text(df)
+        flags = []
+        for needle in ("AdaptiveSparkPlan", "WholeStageCodegen",
+                       "PushedFilters", "ReadSchema", "BroadcastHashJoin",
+                       "SortMergeJoin", "CartesianProduct", "Exchange"):
+            n = txt.count(needle)
+            if n:
+                flags.append(f"{needle}×{n}")
+        out.append(f"\n## {name}\n\n`{', '.join(flags)}`\n\n```\n{txt}```\n")
+    spark.stop()
+    os.makedirs(os.path.join(REPO, "docs"), exist_ok=True)
+    with open(os.path.join(REPO, "docs", "PLANS.md"), "w") as f:
+        f.write("".join(out))
+    print("wrote docs/PLANS.md")
+
+
+if __name__ == "__main__":
+    main()
