@@ -109,12 +109,133 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- resize (deterministic fake: byte-downsample) ---------------------------
+
+RESIZE_NUM, RESIZE_DEN = 1, 2  # "resize to 1/2" = keep the first ceil(n/2) bytes
+
+RESIZE_SCHEMA = (
+    "media_id long, kind string, orig_bytes long, resized_bytes long, "
+    "resized_md5 string"
+)
+
+
+def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import hashlib
+
+    for pdf in batches:
+        out = []
+        for mid, kind, payload in zip(
+            pdf["media_id"].tolist(), pdf["kind"].tolist(), pdf["payload"].tolist()
+        ):
+            raw = bytes(payload)
+            k = -(-len(raw) * RESIZE_NUM // RESIZE_DEN)  # ceil
+            resized = raw[:k]
+            out.append((mid, kind, len(raw), len(resized),
+                        hashlib.md5(resized).hexdigest()))
+        yield pd.DataFrame(
+            out,
+            columns=["media_id", "kind", "orig_bytes", "resized_bytes",
+                     "resized_md5"],
+        )
+
+
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing: Arrow-batched byte transform of the payload. The
+    deterministic fake keeps a byte prefix (a real resize swaps only the
+    UDF body); the oracle reproduces the output bytes via blob substr, so
+    this path gets a FULL value check, not rows-only."""
+    media = _docs_as_media(spark, sf_dir).where(F.col("payload").isNotNull())
+    return media.mapInPandas(_resize_batches, RESIZE_SCHEMA)
+
+
+# NOTE: this DuckDB build has no BLOB substring/md5, so the oracle slices
+# the VARCHAR — byte-identical to the Spark-side byte slice because the
+# corpus is pure ASCII (asserted: octet_length(encode(text)) == length(text)
+# for every row at every sf).
+ORACLE_MULTIMODAL_RESIZE = f"""
+SELECT doc_id AS media_id,
+       ['image', 'audio', 'video'][(doc_id % 3 + 1)::int] AS kind,
+       length(text) AS orig_bytes,
+       length(substr(text, 1,
+           ceil(length(text) * {RESIZE_NUM} / {RESIZE_DEN})::int)) AS resized_bytes,
+       md5(substr(text, 1,
+           ceil(length(text) * {RESIZE_NUM} / {RESIZE_DEN})::int)) AS resized_md5
+FROM documents WHERE text IS NOT NULL
+"""
+
+
+# --- frame sampling (video payloads) -----------------------------------------
+
+FRAME_BYTES = 32   # fixed-size byte window = one "frame" of the fake codec
+SAMPLE_EVERY = 4   # keep every 4th frame
+MAX_FRAMES = 1024  # oracle-side series bound (payloads are far smaller)
+
+FRAMES_SCHEMA = "media_id long, frame_idx int, frame_bytes int, frame_md5 string"
+
+
+def _frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import hashlib
+
+    for pdf in batches:
+        out = []
+        for mid, payload in zip(
+            pdf["media_id"].tolist(), pdf["payload"].tolist()
+        ):
+            raw = bytes(payload)
+            for idx in range(0, -(-len(raw) // FRAME_BYTES), SAMPLE_EVERY):
+                frame = raw[idx * FRAME_BYTES:(idx + 1) * FRAME_BYTES]
+                out.append((mid, idx, len(frame),
+                            hashlib.md5(frame).hexdigest()))
+        yield pd.DataFrame(
+            out, columns=["media_id", "frame_idx", "frame_bytes", "frame_md5"]
+        )
+
+
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sample plumbing over 'video' payloads: one output row per
+    sampled fixed-size byte window (a real decoder swaps the windowing for
+    codec frame extraction; schema, explode shape, and batching are the
+    production shape). Full value oracle via blob substr."""
+    media = (
+        _docs_as_media(spark, sf_dir)
+        .where((F.col("kind") == "video") & F.col("payload").isNotNull())
+        .select("media_id", "payload")
+    )
+    return media.mapInPandas(_frame_batches, FRAMES_SCHEMA)
+
+
+# Same ASCII equivalence note as ORACLE_MULTIMODAL_RESIZE.
+ORACLE_MULTIMODAL_FRAMES = f"""
+WITH media AS (
+  SELECT doc_id AS media_id, text AS payload
+  FROM documents
+  WHERE ['image', 'audio', 'video'][(doc_id % 3 + 1)::int] = 'video'
+    AND text IS NOT NULL),
+frames AS (
+  -- DuckDB's generate_series takes only constants (no lateral column, no
+  -- subquery): use a fixed bound >> any payload (driver corpus max text
+  -- length is ~600 chars at every sf) and filter per row
+  SELECT media_id, idx AS frame_idx,
+         substr(payload, (idx * {FRAME_BYTES} + 1)::int, {FRAME_BYTES}) AS frame
+  FROM media, generate_series(0, {MAX_FRAMES - 1}) AS g(idx)
+  WHERE idx * {FRAME_BYTES} < length(payload)
+    AND idx % {SAMPLE_EVERY} = 0)
+SELECT media_id, frame_idx::int AS frame_idx,
+       length(frame)::int AS frame_bytes, md5(frame) AS frame_md5
+FROM frames
+"""
+
+
 QUERIES = {
     "multimodal_meta": q_multimodal_meta,
     "multimodal_features": q_multimodal_features,
+    "multimodal_resize": q_multimodal_resize,
+    "multimodal_frame_sample": q_multimodal_frame_sample,
 }
 
 ORACLE_SQL = {
     "multimodal_meta": ORACLE_MULTIMODAL_META,
+    "multimodal_resize": ORACLE_MULTIMODAL_RESIZE,
+    "multimodal_frame_sample": ORACLE_MULTIMODAL_FRAMES,
     # multimodal_features: rows-only check (decode stub is not SQL-expressible)
 }

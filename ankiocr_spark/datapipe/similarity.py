@@ -193,14 +193,128 @@ FROM proj GROUP BY vec_id
 """
 
 
+# --- IVF-style two-stage ANN --------------------------------------------------
+
+#: IVF parameters: the coarse quantizer is K fixed "pseudo-centroids" (the
+#: embeddings of vec_ids CENTROID_LO..CENTROID_LO+K-1 — deterministic, no
+#: k-means training needed for a correctness-checkable plan shape); each
+#: vector is assigned to its nearest centroid cell, queries probe the
+#: NPROBE nearest cells and rank candidates only inside them.
+IVF_K = 8
+CENTROID_LO = 10  # disjoint from the query ids (vec_id < N_QUERIES)
+NPROBE = 2
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-k: broadcast the K centroids, assign every vector to its
+    argmax-cosine cell (K-row amplification then reduce — never a full
+    cross product), probe the NPROBE best cells per query, and rank
+    candidates within the probed cells only.
+
+    Scale shape: at 10^9 vectors the per-vector work is K broadcast-join
+    rows + one window reduce; the candidate join is an equi-join on
+    ``cell``, so shuffle volume is O(vectors), not O(vectors x queries).
+    Recall is approximate by design; the oracle runs the SAME algorithm,
+    so the check is exact."""
+    emb = _load_emb(spark, sf_dir)
+    cents = F.broadcast(
+        emb.where(
+            (F.col("vec_id") >= CENTROID_LO)
+            & (F.col("vec_id") < CENTROID_LO + IVF_K)
+        ).select(F.col("vec_id").alias("cent_id"), F.col("emb").alias("c_emb"))
+    )
+
+    def _cos(a, b):
+        return F.round(
+            _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b))), 6
+        )
+
+    scored = emb.crossJoin(cents).select(
+        "vec_id", "emb", "cent_id", _cos(F.col("emb"), F.col("c_emb")).alias("cc")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("cc").desc(), F.col("cent_id").asc()
+    )
+    ranked = scored.withColumn("r", F.row_number().over(w_assign))
+    cells = ranked.where(F.col("r") == 1).select(
+        "vec_id", "emb", F.col("cent_id").alias("cell")
+    )
+    probes = (
+        ranked.where(
+            (F.col("r") <= NPROBE) & (F.col("vec_id") < N_QUERIES)
+        )
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("emb").alias("q_emb"),
+            F.col("cent_id").alias("cell"),
+        )
+    )
+    cand = probes.join(cells, "cell").where(
+        F.col("query_id") != F.col("vec_id")
+    )
+    scored_c = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        _cos(F.col("q_emb"), F.col("emb")).alias("cosine"),
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    w_top = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored_c.withColumn("rank", F.row_number().over(w_top))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+ORACLE_ANN_IVF = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+cents AS (
+  SELECT vec_id AS cent_id, emb AS c_emb FROM e
+  WHERE vec_id >= {CENTROID_LO} AND vec_id < {CENTROID_LO + IVF_K}),
+scored AS (
+  SELECT e.vec_id, e.emb, c.cent_id,
+         round(list_sum(list_transform(list_zip(e.emb, c.c_emb), x -> x[1] * x[2]))
+               / (sqrt(list_sum(list_transform(e.emb, x -> x * x)))
+                * sqrt(list_sum(list_transform(c.c_emb, x -> x * x)))),
+         6) AS cc
+  FROM e, cents c),
+ranked AS (
+  SELECT vec_id, emb, cent_id, cc,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cc DESC, cent_id ASC) AS r
+  FROM scored),
+cells AS (SELECT vec_id, emb, cent_id AS cell FROM ranked WHERE r = 1),
+probes AS (
+  SELECT vec_id AS query_id, emb AS q_emb, cent_id AS cell
+  FROM ranked WHERE r <= {NPROBE} AND vec_id < {N_QUERIES}),
+cand AS (
+  SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id,
+         round(list_sum(list_transform(list_zip(p.q_emb, c.emb), x -> x[1] * x[2]))
+               / (sqrt(list_sum(list_transform(p.q_emb, x -> x * x)))
+                * sqrt(list_sum(list_transform(c.emb, x -> x * x)))),
+         6) AS cosine
+  FROM probes p JOIN cells c USING (cell)
+  WHERE p.query_id <> c.vec_id),
+topk AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM cand)
+SELECT query_id, rank, neighbor_id, cosine FROM topk WHERE rank <= {TOP_K}
+"""
+
+
 QUERIES = {
     "ann_topk_bruteforce": q_ann_topk_bruteforce,
     "neardup_cosine": q_neardup_cosine,
     "ann_lsh_buckets": q_ann_lsh_buckets,
+    "ann_ivf_topk": q_ann_ivf_topk,
 }
 
 ORACLE_SQL = {
     "ann_topk_bruteforce": ORACLE_ANN_TOPK,
     "neardup_cosine": ORACLE_NEARDUP,
     "ann_lsh_buckets": ORACLE_ANN_LSH,
+    "ann_ivf_topk": ORACLE_ANN_IVF,
 }
