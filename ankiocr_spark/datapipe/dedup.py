@@ -32,8 +32,13 @@ def _md5int(col):
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
 
 
-def shingles(df: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, shingle) rows: distinct n-word shingles per document."""
+def shingles(df: DataFrame, n: int = 3, distinct: bool = True) -> DataFrame:
+    """(doc_id, shingle) rows: n-word shingles per document.
+
+    ``distinct`` costs a full shuffle; Jaccard needs it (set semantics),
+    MinHash does NOT (min is duplicate-insensitive), so the signature
+    pipeline passes distinct=False and saves one shuffle of the whole
+    shingle stream — at 10^12 docs that shuffle is the largest stage."""
     tokens = F.split(F.col("text"), " ")
     sh = F.when(
         F.size(tokens) >= n,
@@ -42,10 +47,8 @@ def shingles(df: DataFrame, n: int = 3) -> DataFrame:
             lambda i: F.array_join(F.slice(tokens, i, n), " "),
         ),
     ).otherwise(F.array(F.col("text")))
-    return (
-        df.select("doc_id", F.explode(sh).alias("shingle"))
-        .distinct()
-    )
+    out = df.select("doc_id", F.explode(sh).alias("shingle"))
+    return out.distinct() if distinct else out
 
 
 # --- exact dedup --------------------------------------------------------------
@@ -197,7 +200,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup scale path — no pairwise join over shingles, only over tiny
     band keys."""
     docs = _load_docs(spark, sf_dir)
-    sig = minhash_signatures(shingles(docs))
+    sig = minhash_signatures(shingles(docs, distinct=False))
     bands = (
         sig.withColumn("band", (F.col("seed") / F.lit(LSH_BAND_ROWS)).cast("int"))
         .groupBy("doc_id", "band")

@@ -145,8 +145,11 @@ def extract_job(
     idempotent per bucket. With Iceberg catalogs this becomes
     ``writeTo(...).overwritePartitions()`` — same plan, transactional sink.
     """
+    from .errors import preflight
+
     cfg = cfg or ExtractConfig()
     pages = spark.read.parquet(input_path)
+    preflight(spark, pages)  # fail fast before any executor work
     result = run_extract(spark, pages, cfg)
     (
         result.write.mode("overwrite")
