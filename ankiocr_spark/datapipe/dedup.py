@@ -118,11 +118,25 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shingle",
         F.count("*").over(Window.partitionBy("doc_id")).alias("n_sh"),
     )
-    a, b = wn.alias("a"), wn.alias("b")
+    # same no-self-join shape as the LSH band join (see q_dedup_minhash_lsh):
+    # collect each shingle's (doc_id, n_sh) postings list once — bounded by
+    # MAX_SHINGLE_DF — and explode ordered pairs from it, instead of
+    # re-computing the shingle pipeline for both sides of a join.
+    postings = (
+        wn.groupBy("shingle")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("doc_id", "n_sh"))).alias("ps")
+        )
+        .where(F.size("ps") >= 2)
+    )
+    pair_rows = postings.select(F.explode("ps").alias("a"), "ps").select(
+        "a",
+        F.explode(
+            F.filter("ps", lambda p: p["doc_id"] > F.col("a.doc_id"))
+        ).alias("b"),
+    )
     inter = (
-        a.join(b, "shingle")
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(
+        pair_rows.groupBy(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .agg(
@@ -216,15 +230,23 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("band_key")
         )
     )
-    small = bands.withColumn(
-        "bsz", F.count("*").over(Window.partitionBy("band", "band_key"))
-    ).where(F.col("bsz") <= MAX_BAND_BUCKET).drop("bsz")
-    a, b = small.alias("a"), small.alias("b")
-    return (
-        a.join(b, ["band", "band_key"])
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("n_shared_bands"))
+    # Pair enumeration WITHOUT a self-join: collect each bucket's (sorted)
+    # doc list and explode ordered pairs out of it. A self-join re-computes
+    # the whole shingle->minhash->band lineage for each side (the physical
+    # plan shows two parquet scans and no ReusedExchange); this shape
+    # computes it once, and memory stays bounded by MAX_BAND_BUCKET
+    # (10^4 ids = ~80 KB per bucket row).
+    buckets = (
+        bands.groupBy("band", "band_key")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .where((F.size("ds") >= 2) & (F.size("ds") <= MAX_BAND_BUCKET))
+    )
+    pairs = buckets.select(F.explode("ds").alias("doc_a"), "ds").select(
+        "doc_a",
+        F.explode(F.filter("ds", lambda d: d > F.col("doc_a"))).alias("doc_b"),
+    )
+    return pairs.groupBy("doc_a", "doc_b").agg(
+        F.count("*").alias("n_shared_bands")
     )
 
 
