@@ -112,6 +112,46 @@ def run_stream_extract_available_now(
         raise TimeoutError(f"stream did not drain within {timeout_sec}s")
 
 
+def start_stream_host_stats(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    window: str = "1 day",
+    watermark: str = "1 hour",
+) -> StreamingQuery:
+    """Stateful streaming analytics over the ingest: per-host tumbling-
+    window page counts with a watermark for late-arriving crawl records.
+
+    The reference has no streaming/stateful surface (SURVEY.md §2.1); this
+    is the scale-path companion the crawl pipeline needs: rows older than
+    ``watermark`` behind the stream's max ``warc_ts`` are dropped rather
+    than reopening finalized windows, so state stays bounded — at 10^12
+    docs the state store holds only (hosts x open windows), not history.
+    Append mode emits a window only once it is closed by the watermark."""
+    pages = stream_pages(spark, input_dir)
+    host = F.regexp_extract("url", r"^[a-z]+://([^/]+)/", 1).alias("host")
+    agg = (
+        pages.select(host, "warc_ts")
+        .withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("w"), F.col("host"))
+        .agg(F.count("*").alias("n_pages"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "host",
+            "n_pages",
+        )
+    )
+    return (
+        agg.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def q_stream_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-checkable entry (rows-only — the streaming trigger + file-
     source checkpoint is not SQL-expressible): materialize a deterministic

@@ -78,3 +78,80 @@ def test_stream_resume_processes_only_new_files(spark, dirs):
     # third trigger with nothing new is a no-op
     run_stream_extract_available_now(spark, input_dir, output_dir, ckpt, CFG)
     assert len(_read_extracts(spark, output_dir)) == 65
+
+
+# --- stateful: watermarked per-host window counts ---------------------------
+
+import datetime as dt
+
+from ankiocr_spark.streaming import start_stream_host_stats
+
+D1 = dt.datetime(2024, 1, 1, 12, 0, 0)
+D2 = dt.datetime(2024, 1, 2, 12, 0, 0)
+D3 = dt.datetime(2024, 1, 3, 12, 0, 0)
+D4 = dt.datetime(2024, 1, 4, 12, 0, 0)
+
+
+def _write_host_dump(input_dir, name, rows):
+    """rows: list of (url, warc_ts). Other page columns filled minimally."""
+    os.makedirs(input_dir, exist_ok=True)
+    table = pa.table({
+        "url": pa.array([u for u, _ in rows], pa.string()),
+        "warc_ts": pa.array([t for _, t in rows], pa.timestamp("us")),
+        "html": pa.array([b"<p>x</p>"] * len(rows), pa.binary()),
+        "text": pa.array(["x"] * len(rows), pa.string()),
+        "lang": pa.array(["eng"] * len(rows), pa.string()),
+    })
+    pq.write_table(table, os.path.join(input_dir, name))
+
+
+def _drain_host_stats(spark, dirs):
+    input_dir, output_dir, ckpt = dirs
+    q = start_stream_host_stats(spark, input_dir, output_dir, ckpt)
+    assert q.awaitTermination(120)
+
+
+def _read_stats(spark, output_dir):
+    df = spark.read.parquet(output_dir)
+    return {
+        (r["window_start"].date().isoformat(), r["host"]): r["n_pages"]
+        for r in df.collect()
+    }
+
+
+def test_stream_host_stats_watermark_and_late_data(spark, tmp_path):
+    dirs = (str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck"))
+    input_dir, output_dir, _ = dirs
+
+    # trigger 1: days 1-3; watermark lands 1h behind D3 noon, so the
+    # day-1 and day-2 windows close and emit; day-3 stays open
+    _write_host_dump(input_dir, "d0.parquet", [
+        ("https://a.example/p1", D1), ("https://a.example/p2", D1),
+        ("https://b.example/p1", D1),
+        ("https://a.example/p3", D2),
+        ("https://a.example/p4", D3),
+    ])
+    _drain_host_stats(spark, dirs)
+    got = _read_stats(spark, output_dir)
+    assert got == {
+        ("2024-01-01", "a.example"): 2,
+        ("2024-01-01", "b.example"): 1,
+        ("2024-01-02", "a.example"): 1,
+    }
+
+    # trigger 2: day 4 arrives plus a LATE day-1 row (behind the
+    # watermark -> dropped); day-3 window now closes with its original
+    # count; day-4 stays open and never appears
+    _write_host_dump(input_dir, "d1.parquet", [
+        ("https://a.example/late", D1),          # late: must be dropped
+        ("https://a.example/p5", D4),
+        ("https://b.example/p2", D4),
+    ])
+    _drain_host_stats(spark, dirs)
+    got = _read_stats(spark, output_dir)
+    assert got == {
+        ("2024-01-01", "a.example"): 2,          # unchanged: late row dropped
+        ("2024-01-01", "b.example"): 1,
+        ("2024-01-02", "a.example"): 1,
+        ("2024-01-03", "a.example"): 1,
+    }
