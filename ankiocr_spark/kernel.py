@@ -154,6 +154,104 @@ class _BlockParser(HTMLParser):
         self._flush(self._segment_tag)
 
 
+# ---------------------------------------------------------------------------
+# Fast tokenizer: drives the SAME _BlockParser hooks as the stdlib parser,
+# but skips html.parser's per-attribute parse loop and per-token position
+# bookkeeping (updatepos), which profiling shows is ~70% of kernel time —
+# this engine never reads attributes. It reuses the stdlib's own compiled
+# (linear-time) regexes, and test_kernel_fast_matches_stdlib asserts
+# segment-level equivalence against the stdlib-driven parser on the fixture
+# corpus and randomized html-ish inputs.
+# ---------------------------------------------------------------------------
+
+import html.parser as _hp
+from html import unescape as _unescape
+
+_TAGNAME = _hp.tagfind_tolerant
+_STARTTAG_END = _hp.locatestarttagend_tolerant
+_ENDTAG = _hp.endtagfind
+_COMMENT_CLOSE = _hp.commentclose
+
+_CDATA_CLOSE = {
+    t: re.compile(r"</\s*%s" % t, re.IGNORECASE) for t in ("script", "style")
+}
+
+
+def _fast_feed(handler: "_BlockParser", s: str) -> None:
+    """Single-pass tokenize of ``s``, invoking the handler's hooks with the
+    same calls the stdlib parser would make (tag names lowercased, attrs
+    never materialized, charrefs unescaped in data, script/style content
+    consumed raw until the matching close tag)."""
+    i, n = 0, len(s)
+    cdata_close = None
+    while i < n:
+        if cdata_close is not None:
+            m = cdata_close.search(s, i)
+            if not m:
+                break  # unterminated raw-text element: stdlib drops the rest
+            if m.start() > i:
+                handler.handle_data(s[i:m.start()])
+            e = _ENDTAG.match(s, m.start())
+            if e:
+                handler.handle_endtag(e.group(1).lower())
+                i = e.end()
+            else:
+                i = m.start() + 2
+            cdata_close = None
+            continue
+        j = s.find("<", i)
+        if j < 0:
+            seg = s[i:]
+            handler.handle_data(_unescape(seg) if "&" in seg else seg)
+            break
+        if j > i:
+            seg = s[i:j]
+            handler.handle_data(_unescape(seg) if "&" in seg else seg)
+        if j + 1 >= n:
+            break  # lone trailing '<' at EOF: stdlib drops it
+        c = s[j + 1]
+        if ("a" <= c <= "z") or ("A" <= c <= "Z"):
+            tag = _TAGNAME.match(s, j + 1).group(1).lower()
+            k = _STARTTAG_END.match(s, j)
+            end = k.end()
+            if s.startswith(">", end):
+                handler.handle_starttag(tag, [])
+                i = end + 1
+                if tag in _CDATA_CLOSE:
+                    cdata_close = _CDATA_CLOSE[tag]
+            elif s.startswith("/>", end):
+                handler.handle_startendtag(tag, [])
+                i = end + 2
+            else:
+                # junk characters in the tag: stdlib emits up to the next
+                # '>' (or rest of input) as data
+                nxt = s.find(">", end)
+                stop = n if nxt < 0 else nxt + 1
+                seg = s[j:stop]
+                handler.handle_data(_unescape(seg) if "&" in seg else seg)
+                i = stop
+            continue
+        if s.startswith("</", j):
+            e = _ENDTAG.match(s, j)
+            if e:
+                handler.handle_endtag(e.group(1).lower())
+                i = e.end()
+            else:
+                nxt = s.find(">", j + 2)
+                i = n if nxt < 0 else nxt + 1
+            continue
+        if s.startswith("<!--", j):
+            m = _COMMENT_CLOSE.search(s, j + 4)
+            i = n if not m else m.end()
+            continue
+        if s.startswith("<?", j) or s.startswith("<!", j):
+            nxt = s.find(">", j + 2)
+            i = n if nxt < 0 else nxt + 1
+            continue
+        handler.handle_data("<")
+        i = j + 1
+
+
 def _decode(html) -> str:
     if isinstance(html, (bytes, bytearray, memoryview)):
         raw = bytes(html)
@@ -163,16 +261,22 @@ def _decode(html) -> str:
     return str(html)
 
 
-def extract_spans(html) -> List[Block]:
+def extract_spans(html, _use_fast: bool = True) -> List[Block]:
     """Parse HTML (bytes or str) into scored blocks, document order.
 
     The analog of ``OCRField.parse_images`` (/root/reference/src/anki_ocr/
     api.py:44-77): parse → per-child extraction → validity scoring, emitting
     one record per block instead of one ``OCRImage`` per ``<img>`` tag.
+    ``_use_fast=False`` routes through the stdlib parser — the reference
+    implementation the fast tokenizer is equivalence-tested against.
     """
     parser = _BlockParser()
-    parser.feed(_decode(html))
-    parser.close()
+    if _use_fast:
+        _fast_feed(parser, _decode(html))
+        parser._flush(parser._segment_tag)
+    else:
+        parser.feed(_decode(html))
+        parser.close()
 
     blocks: List[Block] = []
     for i, (tag, text, link_text) in enumerate(parser.segments):

@@ -67,3 +67,24 @@ def test_clean_text_idempotent(s):
         for line in once.split("\n"):
             assert line == line.strip() and line != ""
     assert "::" not in once
+
+
+@given(_payload)
+@settings(**SETTINGS)
+def test_fast_tokenizer_matches_stdlib_parser(payload):
+    """The fast tokenizer (kernel._fast_feed) must produce the same scored
+    blocks as the stdlib-parser reference path on html-ish input."""
+    assert extract_spans(payload, _use_fast=True) == extract_spans(
+        payload, _use_fast=False
+    )
+
+
+def test_fast_tokenizer_matches_stdlib_on_fixtures():
+    from ankiocr_spark.fixtures import gen_rows
+
+    for r in gen_rows(400, seed=11):
+        if r["html"] is None:
+            continue
+        assert extract_spans(r["html"], _use_fast=True) == extract_spans(
+            r["html"], _use_fast=False
+        ), r["url"]
