@@ -64,12 +64,11 @@ MIN_HEADING_CHARS = 3
 #: (/root/reference/src/anki_ocr/pytesseract.py:94-110), per SURVEY.md §4.
 MAX_HTML_BYTES = 8 * 1024 * 1024
 
-_WS_RUN = re.compile(r"\s+")
-
-
 def _normalize(text: str) -> str:
-    """Collapse whitespace runs to single spaces and strip ends."""
-    return _WS_RUN.sub(" ", text).strip()
+    """Collapse whitespace runs to single spaces and strip ends.
+    (split/join is semantically identical to ``re.sub(r"\\s+", " ",
+    text).strip()`` and ~3x faster — C-level, no regex.)"""
+    return " ".join(text.split())
 
 
 @dataclass(frozen=True)
@@ -211,9 +210,14 @@ def _fast_feed(handler: "_BlockParser", s: str) -> None:
             break  # lone trailing '<' at EOF: stdlib drops it
         c = s[j + 1]
         if ("a" <= c <= "z") or ("A" <= c <= "Z"):
-            tag = _TAGNAME.match(s, j + 1).group(1).lower()
-            k = _STARTTAG_END.match(s, j)
-            end = k.end()
+            m = _TAGNAME.match(s, j + 1)
+            tag = m.group(1).lower()
+            # attr-less fast path: tagfind_tolerant consumes trailing
+            # whitespace/non-closing slashes, so for `<p>`, `<p >`, `<br/>`
+            # the next chars are the tag close — skip the attribute regex
+            end = m.end()
+            if not (s.startswith(">", end) or s.startswith("/>", end)):
+                end = _STARTTAG_END.match(s, j).end()
             if s.startswith(">", end):
                 handler.handle_starttag(tag, [])
                 i = end + 1
