@@ -174,6 +174,25 @@ _COMMENT_CLOSE = _hp.commentclose
 _CDATA_CLOSE = {
     t: re.compile(r"</\s*%s" % t, re.IGNORECASE) for t in ("script", "style")
 }
+_MARKED_CLOSE = re.compile(r"]\s*>")
+
+
+def _emit_incomplete(
+    handler: "_BlockParser", s: str, j: int, raw: bool = False
+) -> int:
+    """stdlib goahead's end-of-feed fallback for a construct that failed to
+    parse: emit up to the next '>' (inclusive) / next '<' / one char as
+    data (unescaped outside cdata mode), and resume from there."""
+    k = s.find(">", j + 1)
+    if k < 0:
+        k = s.find("<", j + 1)
+        if k < 0:
+            k = j + 1
+    else:
+        k += 1
+    seg = s[j:k]
+    handler.handle_data(seg if raw or "&" not in seg else _unescape(seg))
+    return k
 
 
 def _fast_feed(handler: "_BlockParser", s: str) -> None:
@@ -194,9 +213,14 @@ def _fast_feed(handler: "_BlockParser", s: str) -> None:
             if e:
                 handler.handle_endtag(e.group(1).lower())
                 i = e.end()
+                cdata_close = None
             else:
-                i = m.start() + 2
-            cdata_close = None
+                gt = s.find(">", m.start() + 1)
+                if gt < 0:  # incomplete end tag at EOF, raw data (no unescape)
+                    i = _emit_incomplete(handler, s, m.start(), raw=True)
+                else:  # malformed close ('</script x>'): raw data, stay cdata
+                    handler.handle_data(s[m.start():gt])
+                    i = gt
             continue
         j = s.find("<", i)
         if j < 0:
@@ -207,7 +231,10 @@ def _fast_feed(handler: "_BlockParser", s: str) -> None:
             seg = s[i:j]
             handler.handle_data(_unescape(seg) if "&" in seg else seg)
         if j + 1 >= n:
-            break  # lone trailing '<' at EOF: stdlib drops it
+            # lone trailing '<': stdlib breaks, then close() flushes the
+            # unprocessed tail as data
+            handler.handle_data("<")
+            break
         c = s[j + 1]
         if ("a" <= c <= "z") or ("A" <= c <= "Z"):
             m = _TAGNAME.match(s, j + 1)
@@ -227,30 +254,49 @@ def _fast_feed(handler: "_BlockParser", s: str) -> None:
                 handler.handle_startendtag(tag, [])
                 i = end + 2
             else:
-                # junk characters in the tag: stdlib emits up to the next
-                # '>' (or rest of input) as data
-                nxt = s.find(">", end)
-                stop = n if nxt < 0 else nxt + 1
-                seg = s[j:stop]
-                handler.handle_data(_unescape(seg) if "&" in seg else seg)
-                i = stop
+                # malformed start tag (stdlib check_for_whole_start_tag):
+                # at EOF / mid-attribute / stray '/', fall back to the
+                # incomplete-data path; otherwise emit the partial tag text
+                # raw (parse_starttag's handle_data, no unescape) and
+                # resume right after it
+                c2 = s[end:end + 1]
+                if c2 == "" or c2 in (
+                    "abcdefghijklmnopqrstuvwxyz=/ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+                ):
+                    i = _emit_incomplete(handler, s, j)
+                else:
+                    handler.handle_data(s[j:end])
+                    i = end
             continue
         if s.startswith("</", j):
             e = _ENDTAG.match(s, j)
             if e:
                 handler.handle_endtag(e.group(1).lower())
                 i = e.end()
-            else:
-                nxt = s.find(">", j + 2)
-                i = n if nxt < 0 else nxt + 1
+                continue
+            gt = s.find(">", j + 1)
+            if gt < 0:  # incomplete at EOF
+                i = _emit_incomplete(handler, s, j)
+                continue
+            nm = _TAGNAME.match(s, j + 2)
+            if nm:  # tolerant end tag with junk before '>': '</p attr>'
+                handler.handle_endtag(nm.group(1).lower())
+                i = s.find(">", nm.end()) + 1
+            else:  # '</>' or bogus comment '</;...>': skipped (no hook used)
+                i = gt + 1
             continue
         if s.startswith("<!--", j):
             m = _COMMENT_CLOSE.search(s, j + 4)
-            i = n if not m else m.end()
+            i = _emit_incomplete(handler, s, j) if not m else m.end()
+            continue
+        if s.startswith("<![", j):
+            # marked section (stdlib parse_marked_section): closes at ']>'
+            m = _MARKED_CLOSE.search(s, j + 3)
+            i = _emit_incomplete(handler, s, j) if not m else m.end()
             continue
         if s.startswith("<?", j) or s.startswith("<!", j):
             nxt = s.find(">", j + 2)
-            i = n if nxt < 0 else nxt + 1
+            i = _emit_incomplete(handler, s, j) if nxt < 0 else nxt + 1
             continue
         handler.handle_data("<")
         i = j + 1

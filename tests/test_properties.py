@@ -73,10 +73,16 @@ def test_clean_text_idempotent(s):
 @settings(**SETTINGS)
 def test_fast_tokenizer_matches_stdlib_parser(payload):
     """The fast tokenizer (kernel._fast_feed) must produce the same scored
-    blocks as the stdlib-parser reference path on html-ish input."""
-    assert extract_spans(payload, _use_fast=True) == extract_spans(
-        payload, _use_fast=False
-    )
+    blocks as the stdlib-parser reference path on html-ish input. The
+    stdlib parser itself CRASHES on some malformed inputs (e.g. b'<![0' →
+    AssertionError in _markupbase._scan_name); the fast path must still
+    succeed there, so those inputs pass the robustness half only."""
+    fast = extract_spans(payload, _use_fast=True)  # must never raise
+    try:
+        slow = extract_spans(payload, _use_fast=False)
+    except Exception:
+        return  # stdlib crashed; fast path already proved more robust
+    assert fast == slow
 
 
 def test_fast_tokenizer_matches_stdlib_on_fixtures():
