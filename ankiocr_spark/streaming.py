@@ -112,6 +112,40 @@ def run_stream_extract_available_now(
         raise TimeoutError(f"stream did not drain within {timeout_sec}s")
 
 
+def start_stream_extract_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    cfg: Optional[ExtractConfig] = None,
+    dedup_horizon: str = "2 days",
+) -> StreamingQuery:
+    """Ingest + streaming exact-dedup on ``url``: overlapping crawl dumps
+    re-crawl the same url, and running the kernel twice wastes the most
+    expensive stage. ``dropDuplicatesWithinWatermark`` keeps per-url state
+    only for ``dedup_horizon`` behind the stream's max ``warc_ts``, so
+    state stays bounded (urls-per-horizon, not all urls ever) — the
+    streaming complement of the batch dedup_exact operator."""
+    cfg = cfg or ExtractConfig()
+    spark.conf.set(
+        "spark.sql.execution.arrow.maxRecordsPerBatch", str(cfg.batch_rows)
+    )
+    pages = stream_pages(spark, input_dir)
+    deduped = (
+        pages.withWatermark("warc_ts", dedup_horizon)
+        .dropDuplicatesWithinWatermark(["url"])
+    )
+    plan = stream_extract_plan(deduped, cfg)
+    return (
+        plan.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def start_stream_host_stats(
     spark: SparkSession,
     input_dir: str,

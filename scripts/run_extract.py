@@ -1,0 +1,76 @@
+"""Headless batch entry — the rebuild of the reference's run_ocr.py
+(/root/reference/scripts/run_ocr.py:9-20: open collection → OCR(col) →
+full-table scan → run_ocr_on_query), as a spark-submit job:
+
+    spark-submit --py-files ankiocr_spark.zip scripts/run_extract.py \
+        --input s3://crawl/pages/ --output s3://crawl/extracts/ \
+        [--mode text_column|spans] [--salt-buckets 4096] [--lang eng ...] \
+        [--checkpoint-dir s3://crawl/ledger/] [--presalt-shuffle]
+
+Run locally (no spark-submit needed — get_spark builds the session):
+
+    python scripts/run_extract.py --input pages/ --output out/
+
+With --checkpoint-dir the job is resumable: completed salt buckets are
+recorded in the per-partition ledger and skipped on restart.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--input", required=True, help="pages parquet dir")
+    ap.add_argument("--output", required=True, help="extracts parquet dir")
+    ap.add_argument("--mode", default="text_column",
+                    choices=["text_column", "spans"])
+    ap.add_argument("--salt-buckets", type=int, default=32)
+    ap.add_argument("--batch-rows", type=int, default=1024)
+    ap.add_argument("--lang", nargs="*", default=None,
+                    help="keep only these lang codes (pushed to the scan)")
+    ap.add_argument("--checkpoint-dir", default=None,
+                    help="per-partition ledger for resumable runs")
+    ap.add_argument("--presalt-shuffle", action="store_true",
+                    help="salted repartition before the kernel (for "
+                         "giant-unsplittable-file layouts; see BENCH)")
+    ap.add_argument("--master", default=None,
+                    help="override master (default: existing session or "
+                         "local[$SPARK_GRAFT_CPUS])")
+    args = ap.parse_args()
+
+    from ankiocr_spark.config import ExtractConfig
+    from ankiocr_spark.job import extract_job
+    from ankiocr_spark.checkpoint import resumable_extract
+    from ankiocr_spark.session import get_spark
+
+    cfg = ExtractConfig(
+        output_mode=args.mode,
+        salt_buckets=args.salt_buckets,
+        batch_rows=args.batch_rows,
+        lang_filter=args.lang,
+        checkpoint_dir=args.checkpoint_dir,
+        presalt_shuffle=args.presalt_shuffle,
+    )
+    spark = get_spark("extract_job", master=args.master)
+    t0 = time.perf_counter()
+    if args.checkpoint_dir:
+        summary = resumable_extract(spark, args.input, args.output, cfg)
+        print(f"resumable_extract: {summary}")
+    else:
+        extract_job(spark, args.input, args.output, cfg)
+    n = spark.read.parquet(args.output).count()
+    dt = time.perf_counter() - t0
+    print(f"done: {n} rows -> {args.output} in {dt:.1f}s "
+          f"({n / dt:.0f} rows/s)")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -155,3 +155,58 @@ def test_stream_host_stats_watermark_and_late_data(spark, tmp_path):
         ("2024-01-02", "a.example"): 1,
         ("2024-01-03", "a.example"): 1,
     }
+
+
+# --- streaming exact-dedup on url across overlapping dumps ------------------
+
+from ankiocr_spark.streaming import start_stream_extract_dedup
+
+
+def test_stream_extract_dedup_across_dumps(spark, tmp_path):
+    input_dir = str(tmp_path / "in")
+    output_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+
+    def page(url, ts, body):
+        html = f"<html><body><h1>Title {body}</h1><p>{body * 8} content paragraph</p></body></html>".encode()
+        return (url, ts, html)
+
+    def dump(name, rows):
+        os.makedirs(input_dir, exist_ok=True)
+        table = pa.table({
+            "url": pa.array([r[0] for r in rows], pa.string()),
+            "warc_ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "html": pa.array([r[2] for r in rows], pa.binary()),
+            "text": pa.array([None] * len(rows), pa.string()),
+            "lang": pa.array(["eng"] * len(rows), pa.string()),
+        })
+        pq.write_table(table, os.path.join(input_dir, name))
+
+    def drain():
+        q = start_stream_extract_dedup(
+            spark, input_dir, output_dir, ckpt, CFG, dedup_horizon="2 days")
+        assert q.awaitTermination(120)
+
+    dump("d0.parquet", [
+        page("https://x.example/a", D1, "alpha"),
+        page("https://x.example/b", D1, "beta"),
+    ])
+    drain()
+    got = spark.read.parquet(output_dir).select("url").collect()
+    assert sorted(r["url"] for r in got) == [
+        "https://x.example/a", "https://x.example/b"]
+
+    # overlapping dump: /b re-crawled (within the horizon -> deduped),
+    # /c is new
+    dump("d1.parquet", [
+        page("https://x.example/b", D2, "beta-again"),
+        page("https://x.example/c", D2, "gamma"),
+    ])
+    drain()
+    rows = spark.read.parquet(output_dir).collect()
+    urls = sorted(r["url"] for r in rows)
+    assert urls == ["https://x.example/a", "https://x.example/b",
+                    "https://x.example/c"], urls
+    # the kept /b is the FIRST crawl's extract
+    b = [r for r in rows if r["url"].endswith("/b")][0]
+    assert "beta" in b["extracted_text"] and "beta-again" not in b["extracted_text"]
