@@ -186,6 +186,89 @@ def start_stream_host_stats(
     )
 
 
+# --------------------------------------------------------------------------
+# custom stateful operator: per-host cumulative crawl tracker
+# --------------------------------------------------------------------------
+
+HOST_STATE_SCHEMA = "n_pages long, n_bytes long, last_ts timestamp"
+HOST_TRACKER_OUT = (
+    "host string, n_pages long, n_bytes long, last_ts timestamp, "
+    "batch_pages long"
+)
+
+
+def _host_tracker(key, pdf_iter, state):
+    """applyInPandasWithState function: fold this micro-batch's pages for
+    one host into cumulative (pages, bytes, last crawl ts) state and yield
+    one updated row. State is O(hosts) regardless of stream length."""
+    import pandas as pd
+
+    n_pages, n_bytes, last_ts = (
+        state.get if state.exists else (0, 0, None)
+    )
+    batch_pages = 0
+    for pdf in pdf_iter:
+        batch_pages += len(pdf)
+        n_pages += len(pdf)
+        n_bytes += int(pdf["n_bytes"].sum())
+        ts = pdf["warc_ts"].max()
+        if ts is not None:
+            ts = pd.Timestamp(ts).to_pydatetime()
+            if last_ts is None or ts > last_ts:
+                last_ts = ts
+    state.update((n_pages, n_bytes, last_ts))
+    yield pd.DataFrame([{
+        "host": key[0],
+        "n_pages": n_pages,
+        "n_bytes": n_bytes,
+        "last_ts": last_ts,
+        "batch_pages": batch_pages,
+    }])
+
+
+def start_stream_host_tracker(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Custom stateful streaming operator (applyInPandasWithState): a
+    running per-host crawl ledger — cumulative page count, byte volume and
+    newest ``warc_ts`` — carried across triggers in the state store.
+
+    This is the API tier above watermarked aggregation: arbitrary
+    user-defined state transition per key per micro-batch, Arrow-batched
+    (no per-row Python), with state size O(distinct hosts). Update output
+    mode: each trigger emits one refreshed row per host that saw pages."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    pages = stream_pages(spark, input_dir)
+    per_host = pages.select(
+        F.regexp_extract("url", r"^[a-z]+://([^/]+)/", 1).alias("host"),
+        F.octet_length("html").alias("n_bytes"),
+        "warc_ts",
+    )
+    tracked = per_host.groupBy("host").applyInPandasWithState(
+        _host_tracker,
+        outputStructType=HOST_TRACKER_OUT,
+        stateStructType=HOST_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+    def _write_batch(df, epoch_id):
+        (df.withColumn("epoch", F.lit(epoch_id))
+           .write.mode("append").parquet(output_dir))
+
+    return (
+        tracked.writeStream.foreachBatch(_write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def q_stream_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-checkable entry (rows-only — the streaming trigger + file-
     source checkpoint is not SQL-expressible): materialize a deterministic

@@ -210,3 +210,53 @@ def test_stream_extract_dedup_across_dumps(spark, tmp_path):
     # the kept /b is the FIRST crawl's extract
     b = [r for r in rows if r["url"].endswith("/b")][0]
     assert "beta" in b["extracted_text"] and "beta-again" not in b["extracted_text"]
+
+
+# --- custom stateful operator: per-host crawl tracker -----------------------
+
+from ankiocr_spark.streaming import start_stream_host_tracker
+
+
+def test_stream_host_tracker_state_across_triggers(spark, tmp_path):
+    input_dir = str(tmp_path / "in")
+    output_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+
+    def dump(name, rows):
+        os.makedirs(input_dir, exist_ok=True)
+        table = pa.table({
+            "url": pa.array([r[0] for r in rows], pa.string()),
+            "warc_ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "html": pa.array([r[2] for r in rows], pa.binary()),
+            "text": pa.array([None] * len(rows), pa.string()),
+            "lang": pa.array(["eng"] * len(rows), pa.string()),
+        })
+        pq.write_table(table, os.path.join(input_dir, name))
+
+    def drain():
+        q = start_stream_host_tracker(spark, input_dir, output_dir, ckpt)
+        assert q.awaitTermination(120)
+
+    dump("d0.parquet", [
+        ("https://a.example/1", D1, b"x" * 10),
+        ("https://a.example/2", D2, b"y" * 20),
+        ("https://b.example/1", D1, b"z" * 5),
+    ])
+    drain()
+    rows = {r["host"]: r for r in spark.read.parquet(output_dir).collect()}
+    assert rows["a.example"]["n_pages"] == 2
+    assert rows["a.example"]["n_bytes"] == 30
+    assert rows["a.example"]["last_ts"] == D2
+    assert rows["b.example"]["n_pages"] == 1
+
+    # second trigger: state must carry (cumulative, not reset)
+    dump("d1.parquet", [
+        ("https://a.example/3", D3, b"w" * 40),
+    ])
+    drain()
+    latest = [r for r in spark.read.parquet(output_dir).collect()
+              if r["host"] == "a.example" and r["batch_pages"] == 1
+              and r["n_pages"] == 3]
+    assert latest, "cumulative state row missing"
+    assert latest[0]["n_bytes"] == 70
+    assert latest[0]["last_ts"] == D3
