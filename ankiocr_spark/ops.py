@@ -131,6 +131,37 @@ def q_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- skew-safe aggregation: two-phase count-distinct -------------------------
+
+def q_count_distinct_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-doc count per token via the two-phase decomposition:
+    dedup on the composite key first, THEN count per token. The naive
+    ``collect_set(doc_id)`` materializes a hot token's entire posting list
+    in one task (OOM at 10^12 docs); the decomposition keeps every stage a
+    streaming hash aggregate with map-side partials — the standard
+    hot-key-safe shape (AQE balances the residual partition skew)."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"), "doc_id")
+        .where(F.col("token") != "")
+        .distinct()  # phase 1: composite-key dedup (partial agg map-side)
+    )
+    return (
+        pairs.groupBy("token")
+        .agg(F.count("*").alias("n_docs"))  # phase 2: count per token
+        .where(F.col("n_docs") >= 5)
+    )
+
+
+ORACLE_COUNT_DISTINCT = """
+WITH pairs AS (
+  SELECT DISTINCT doc_id, unnest(str_split(text, ' ')) AS token
+  FROM documents)
+SELECT token, count(*) AS n_docs
+FROM pairs WHERE token <> '' GROUP BY token HAVING count(*) >= 5
+"""
+
+
 # --- §2 row 10: positional split + rejoin ------------------------------------
 
 def q_positional_rejoin(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -290,6 +321,7 @@ QUERIES = {
     "filter_whitelist": q_filter_whitelist,
     "validity_filter": q_validity_filter,
     "explode_tokens": q_explode_tokens,
+    "count_distinct_twophase": q_count_distinct_twophase,
     "positional_rejoin": q_positional_rejoin,
     "broadcast_rejoin": q_broadcast_rejoin,
     "group_concat": q_group_concat,
@@ -323,6 +355,7 @@ ORACLE_SQL = {
         "  SELECT unnest(str_split(text, ' ')) AS token FROM documents"
         ") WHERE token <> '' GROUP BY token"
     ),
+    "count_distinct_twophase": ORACLE_COUNT_DISTINCT,
     "positional_rejoin": (
         "SELECT doc_id, "
         "array_to_string(list_slice(str_split(text, ' '), 1, 5), ' ') AS first5 "
