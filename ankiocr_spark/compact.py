@@ -1,0 +1,72 @@
+"""Small-file compaction for the bucket-partitioned extract table.
+
+The streaming sink appends one file per micro-batch per bucket, and at
+10^5 triggers that is the classic small-files problem: parquet footer
+overhead, NameNode/object-store listing pressure, and scan task explosion.
+This pass rewrites each bucket partition into ``files_per_bucket`` files
+(one by default), preserving rows exactly.
+
+Production analog: Iceberg's ``rewrite_data_files`` maintenance action —
+same plan shape (read, cluster by partition key, rewrite), but with a
+transactional snapshot swap instead of a new directory. Here the output
+goes to a NEW path (a reader must never overwrite its own input in plain
+parquet); callers swap directories/pointers atomically themselves.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def compact_bucketed(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    files_per_bucket: int = 1,
+) -> dict:
+    """Rewrite a bucket-partitioned parquet dir with consolidated files.
+
+    Repartitions on (bucket[, uniform salt]) so each bucket's rows land in
+    exactly ``files_per_bucket`` shuffle partitions, then writes
+    partitioned by bucket — yielding that many files per partition dir.
+    Returns a summary with before/after file counts.
+    """
+    df = spark.read.parquet(input_path)
+    assert "bucket" in df.columns, "input is not bucket-partitioned"
+    n_buckets = df.select("bucket").distinct().count()
+    before = _count_data_files(spark, input_path)
+
+    if files_per_bucket <= 1:
+        part = df.repartition(n_buckets, F.col("bucket"))
+    else:
+        part = df.repartition(
+            n_buckets * files_per_bucket,
+            F.col("bucket"),
+            F.pmod(F.xxhash64("url"), F.lit(files_per_bucket)),
+        )
+    (
+        part.write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(output_path)
+    )
+    after = _count_data_files(spark, output_path)
+    return {
+        "buckets": n_buckets,
+        "files_before": before,
+        "files_after": after,
+        "rows": df.count(),
+    }
+
+
+def _count_data_files(spark: SparkSession, path: str) -> int:
+    import glob
+    import os
+
+    return len(
+        [
+            p
+            for p in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+            if not os.path.basename(p).startswith((".", "_"))
+        ]
+    )
