@@ -30,10 +30,14 @@ AUDIT = [
     "semi_join_ids",
     "broadcast_rejoin",
     "group_concat",
+    "count_distinct_twophase",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
     "ann_topk_bruteforce",
+    "ann_ivf_topk",
     "token_count",
+    "multimodal_frame_sample",
 ]
 
 def plan_text(df) -> str:
