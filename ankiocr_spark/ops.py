@@ -302,6 +302,37 @@ def q_remove_extracts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- §2 rows 6/23: quarantine report (error-class counts) --------------------
+
+def q_error_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counts per error class over REAL kernel output — the observability
+    face of the failed-row quarantine (SURVEY.md §2 row 23: typed error
+    column instead of the reference's log-and-skip, api.py:50-62). At scale
+    this query is the job's health dashboard: a spike in one class flags a
+    bad crawl segment without failing the run."""
+    pages = docs_as_pages(spark, sf_dir)
+    out = run_extract(spark, pages, ExtractConfig(salt_buckets=8))
+    return (
+        out.groupBy(F.coalesce("error", F.lit("ok")).alias("error_class"))
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.sum(F.when(F.col("extracted_text").isNotNull(), 1).otherwise(0)
+                  ).alias("n_with_text"),
+        )
+    )
+
+
+# docs_as_pages: html is NULL exactly when documents.text is NULL (concat
+# with null -> null), so the kernel quarantines those as 'null_html'.
+ORACLE_ERROR_REPORT = """
+SELECT CASE WHEN text IS NULL THEN 'null_html' ELSE 'ok' END AS error_class,
+       count(*) AS n_pages,
+       sum(CASE WHEN text IS NULL THEN 0 ELSE 1 END) AS n_with_text
+FROM documents
+GROUP BY CASE WHEN text IS NULL THEN 'null_html' ELSE 'ok' END
+"""
+
+
 # --- §2 row 20: metrics / counters readout ------------------------------------
 
 def q_run_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -322,6 +353,7 @@ QUERIES = {
     "validity_filter": q_validity_filter,
     "explode_tokens": q_explode_tokens,
     "count_distinct_twophase": q_count_distinct_twophase,
+    "error_report": q_error_report,
     "positional_rejoin": q_positional_rejoin,
     "broadcast_rejoin": q_broadcast_rejoin,
     "group_concat": q_group_concat,
@@ -356,6 +388,7 @@ ORACLE_SQL = {
         ") WHERE token <> '' GROUP BY token"
     ),
     "count_distinct_twophase": ORACLE_COUNT_DISTINCT,
+    "error_report": ORACLE_ERROR_REPORT,
     "positional_rejoin": (
         "SELECT doc_id, "
         "array_to_string(list_slice(str_split(text, ' '), 1, 5), ' ') AS first5 "
