@@ -174,7 +174,15 @@ _COMMENT_CLOSE = _hp.commentclose
 _CDATA_CLOSE = {
     t: re.compile(r"</\s*%s" % t, re.IGNORECASE) for t in ("script", "style")
 }
-_MARKED_CLOSE = re.compile(r"]\s*>")
+# marked-section machinery mirrored from _markupbase: ']]>' closes the
+# standard sections, ']>' closes the MS-Office conditional ones; unknown
+# section names CRASH the stdlib parser (AssertionError) — the fast path
+# degrades to the incomplete-data fallback instead.
+_SECT_NAME = re.compile(r"[a-zA-Z][-_.a-zA-Z0-9]*")
+_MARKED_CLOSE_STD = re.compile(r"]\s*]\s*>")
+_MARKED_CLOSE_MS = re.compile(r"]\s*>")
+_SECT_STD = frozenset({"temp", "cdata", "ignore", "include", "rcdata"})
+_SECT_MS = frozenset({"if", "else", "endif"})
 
 
 def _emit_incomplete(
@@ -290,8 +298,15 @@ def _fast_feed(handler: "_BlockParser", s: str) -> None:
             i = _emit_incomplete(handler, s, j) if not m else m.end()
             continue
         if s.startswith("<![", j):
-            # marked section (stdlib parse_marked_section): closes at ']>'
-            m = _MARKED_CLOSE.search(s, j + 3)
+            # marked section (stdlib parse_marked_section)
+            nm = _SECT_NAME.match(s, j + 3)
+            sect = nm.group().lower() if nm else None
+            if sect in _SECT_STD:
+                m = _MARKED_CLOSE_STD.search(s, j + 3)
+            elif sect in _SECT_MS:
+                m = _MARKED_CLOSE_MS.search(s, j + 3)
+            else:  # stdlib raises here; degrade to data-skip
+                m = None
             i = _emit_incomplete(handler, s, j) if not m else m.end()
             continue
         if s.startswith("<?", j) or s.startswith("<!", j):
