@@ -117,11 +117,63 @@ FROM documents
 """
 
 
+QUALITY_FLOOR = 0.5
+
+
+def q_training_set_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone composition: the final training-set selection a
+    pipeline user runs — language gate AND quality floor AND exact-dedup
+    keeper, in one plan. All three predicates are cheap JVM expressions,
+    so Catalyst fuses the gates into the scan side and the only shuffle is
+    the dedup group-by on the content hash. At 10^12 docs this is the
+    'shrink first' stage that every expensive operator (MinHash, ANN,
+    extraction re-runs) reads from instead of the raw crawl."""
+    docs = _docs(spark, sf_dir)
+    tokens = F.split("text", " ")
+    markers = F.size(F.filter(tokens, lambda x: x.isin(*EN_MARKERS)))
+    lang_ok = F.round(markers / F.size(tokens), 6) >= LANG_RATIO_THRESHOLD
+    n_tokens = F.size(tokens)
+    quality = F.round(
+        0.4 * F.least(F.lit(1.0), n_tokens / F.lit(100.0))
+        + 0.6 * (F.size(F.array_distinct(tokens)) / n_tokens),
+        6,
+    )
+    gated = docs.where(lang_ok & (quality >= QUALITY_FLOOR)).select(
+        "doc_id", F.md5("text").alias("content_hash"), "lang", "n_chars"
+    )
+    keepers = gated.groupBy("content_hash").agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    return (
+        gated.join(keepers, ["content_hash", "doc_id"], "left_semi")
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+ORACLE_TRAINING_SET = f"""
+WITH scored AS (
+  SELECT doc_id, lang, n_chars, md5(text) AS content_hash,
+         round(len(list_filter(str_split(text, ' '),
+                               x -> list_contains({_MARKER_LIST}, x)))
+               / len(str_split(text, ' ')), 6) AS marker_ratio,
+         round(0.4 * least(1.0, len(str_split(text, ' ')) / 100.0)
+             + 0.6 * (len(list_distinct(str_split(text, ' ')))
+                      / len(str_split(text, ' '))), 6) AS quality
+  FROM documents),
+gated AS (
+  SELECT * FROM scored
+  WHERE marker_ratio >= {LANG_RATIO_THRESHOLD} AND quality >= {QUALITY_FLOOR})
+SELECT doc_id, lang, n_chars FROM gated
+WHERE doc_id IN (SELECT min(doc_id) FROM gated GROUP BY content_hash)
+"""
+
+
 QUERIES = {
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
     "token_count": q_token_count,
     "doc_fingerprint": q_fingerprint,
+    "training_set_select": q_training_set_select,
 }
 
 ORACLE_SQL = {
@@ -129,4 +181,5 @@ ORACLE_SQL = {
     "quality_score": ORACLE_QUALITY,
     "token_count": ORACLE_TOKEN_COUNT,
     "doc_fingerprint": ORACLE_FINGERPRINT,
+    "training_set_select": ORACLE_TRAINING_SET,
 }
