@@ -66,3 +66,31 @@ def test_resume_is_noop_when_complete(spark, pages_dir, tmp_path):
     assert s1["buckets_processed"] == 4
     s2 = resumable_extract(spark, pages_dir, out, cfg, bucket_groups=2)
     assert s2["buckets_processed"] == 0 and s2["buckets_skipped"] == 4
+
+
+def test_kernel_version_change_invalidates_ledger(spark, pages_dir, tmp_path):
+    """A kernel upgrade must force recomputation: ledger rows written by a
+    different kernel_version do not count as completed (the lineage
+    guarantee — stale extracts cannot survive a kernel change)."""
+    out = str(tmp_path / "out_kv")
+    ledger = str(tmp_path / "ledger_kv")
+    cfg = ExtractConfig(salt_buckets=4, checkpoint_dir=ledger)
+
+    s1 = resumable_extract(spark, pages_dir, out, cfg, bucket_groups=2)
+    assert s1["buckets_processed"] == 4
+
+    # forge a ledger written by an older kernel
+    old = spark.read.parquet(ledger)
+    forged = old.withColumn("kernel_version", F.lit("000000000000"))
+    forged.write.mode("overwrite").parquet(str(tmp_path / "ledger_forged"))
+    cfg2 = ExtractConfig(
+        salt_buckets=4, checkpoint_dir=str(tmp_path / "ledger_forged")
+    )
+
+    s2 = resumable_extract(spark, pages_dir, out, cfg2, bucket_groups=2)
+    assert s2["buckets_skipped"] == 0
+    assert s2["buckets_processed"] == 4  # everything recomputed
+
+    # and with the genuine ledger the same call is a no-op
+    s3 = resumable_extract(spark, pages_dir, out, cfg, bucket_groups=2)
+    assert s3["buckets_processed"] == 0 and s3["buckets_skipped"] == 4
