@@ -15,7 +15,7 @@ parquet); callers swap directories/pointers atomically themselves.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 
