@@ -74,6 +74,46 @@ FROM documents ORDER BY url
 """
 
 
+# --- §2 row 15: span-level output (the "tooltip" writeback analog) ----------
+
+def q_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span mode over the wrapped pages: one row per scored block
+    (api.py:230-236 writeback recast as block records). The wrapped page
+    has a closed-form block structure — h1 (kept heading), the body
+    paragraph (kept iff >= MIN_TEXT_CHARS, absent iff empty), and the
+    link-farm div (density-dropped but still reported) — so the oracle
+    enumerates the exact rows."""
+    pages = docs_as_pages(spark, sf_dir)
+    out = run_extract(
+        spark, pages, ExtractConfig(output_mode="spans", salt_buckets=8)
+    )
+    return out.select(
+        "url", "block_id", "tag", "text", "n_chars", "link_density", "kept"
+    )
+
+
+#: farm-div constants: text 35 chars, anchor text 33 → density 33/35
+_FARM_TEXT = "alpha beta gamma delta epsilon zeta"
+_FARM_DENSITY = 0.942857
+
+ORACLE_EXTRACT_SPANS = f"""
+WITH d AS (
+  SELECT '{URL_PREFIX}' || doc_id AS url, trim(text) AS t
+  FROM documents WHERE text IS NOT NULL)
+SELECT url, 0 AS block_id, 'h1' AS tag,
+       '{H1_TEXT}' AS text, {len(H1_TEXT)} AS n_chars,
+       0.0::DOUBLE AS link_density, true AS kept
+FROM d
+UNION ALL
+SELECT url, 1, 'p', t, length(t), 0.0::DOUBLE, length(t) >= 25
+FROM d WHERE length(t) > 0
+UNION ALL
+SELECT url, CASE WHEN length(t) > 0 THEN 2 ELSE 1 END, 'div',
+       '{_FARM_TEXT}', {len(_FARM_TEXT)}, {_FARM_DENSITY}::DOUBLE, false
+FROM d
+"""
+
+
 # --- §2 rows 1-2: source scan + id-list semi-join ---------------------------
 
 def q_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -347,6 +387,7 @@ def q_run_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "flagship_extract": q_flagship_extract,
+    "extract_spans": q_extract_spans,
     "scan_project": q_scan_project,
     "semi_join_ids": q_semi_join_ids,
     "filter_whitelist": q_filter_whitelist,
@@ -367,6 +408,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "flagship_extract": ORACLE_FLAGSHIP,
+    "extract_spans": ORACLE_EXTRACT_SPANS,
     "scan_project": "SELECT doc_id, lang, n_chars FROM documents",
     "semi_join_ids": (
         "SELECT doc_id, lang, n_chars FROM documents "
