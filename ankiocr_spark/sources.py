@@ -1,0 +1,87 @@
+"""Source adapters: land any supported format in the canonical pages shape.
+
+The reference reads exactly one store (the Anki SQLite collection,
+/root/reference/scripts/run_ocr.py:16); the rebuild's canonical store is
+the Parquet/Iceberg pages table (BASELINE.json:input_hint). Real crawl
+deliveries also arrive as JSONL and CSV sidecars, so this module coerces
+any of the three into the exact input_hint schema — string timestamps
+parsed, html accepted as raw bytes OR base64 text (binary does not survive
+JSON/CSV natively), extra columns dropped, missing optional columns
+null-filled — so every downstream operator sees one shape.
+
+Scale note: JSONL/CSV are ingestion-edge formats only; the first job in
+any pipeline is `to_pages_parquet` (schema-checked, zstd, splittable),
+after which everything reads columnar.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+PAGES_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType(), False),
+    T.StructField("warc_ts", T.TimestampType(), True),
+    T.StructField("html", T.BinaryType(), True),
+    T.StructField("text", T.StringType(), True),
+    T.StructField("lang", T.StringType(), True),
+])
+
+#: permissive schema for text formats: everything lands as string first
+_TEXT_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType(), False),
+    T.StructField("warc_ts", T.StringType(), True),
+    T.StructField("html_b64", T.StringType(), True),
+    T.StructField("text", T.StringType(), True),
+    T.StructField("lang", T.StringType(), True),
+])
+
+
+def _coerce(df: DataFrame) -> DataFrame:
+    """Project any raw source DataFrame onto the canonical pages schema."""
+    cols = set(df.columns)
+    if "html" in cols and dict(df.dtypes)["html"] == "binary":
+        html = F.col("html")
+    elif "html_b64" in cols:
+        html = F.unbase64("html_b64")
+    elif "html" in cols:  # string html from a text format
+        html = F.encode(F.col("html"), "utf-8")
+    else:
+        html = F.lit(None).cast("binary")
+    ts = (
+        F.col("warc_ts").cast("timestamp")
+        if "warc_ts" in cols
+        else F.lit(None).cast("timestamp")
+    )
+    return df.select(
+        F.col("url").cast("string").alias("url"),
+        ts.alias("warc_ts"),
+        html.alias("html"),
+        (F.col("text") if "text" in cols else F.lit(None)).cast("string").alias("text"),
+        (F.col("lang") if "lang" in cols else F.lit(None)).cast("string").alias("lang"),
+    )
+
+
+def read_pages(spark: SparkSession, path: str, format: str = "parquet") -> DataFrame:
+    """Read a pages table from ``parquet`` (canonical), ``json`` (JSONL
+    with base64 html), or ``csv`` (header row, base64 html)."""
+    if format == "parquet":
+        return _coerce(spark.read.schema(PAGES_SCHEMA).parquet(path))
+    if format == "json":
+        return _coerce(spark.read.schema(_TEXT_SCHEMA).json(path))
+    if format == "csv":
+        return _coerce(
+            spark.read.schema(_TEXT_SCHEMA).option("header", "true").csv(path)
+        )
+    raise ValueError(f"unsupported source format: {format}")
+
+
+def to_pages_parquet(
+    spark: SparkSession, input_path: str, format: str, output_path: str
+) -> int:
+    """Edge-ingestion job: land a JSONL/CSV delivery as canonical parquet.
+    Returns the row count written."""
+    df = read_pages(spark, input_path, format)
+    df.write.mode("overwrite").parquet(output_path)
+    return spark.read.parquet(output_path).count()
