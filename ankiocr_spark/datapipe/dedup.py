@@ -286,32 +286,29 @@ SIMHASH_BITS = 32
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash sketch per document from distinct-token hashes:
-    bit b of the sketch = sign of Σ_tokens (±1 from bit b of md5(token))."""
+    bit b of the sketch = sign of Σ_tokens (±1 from bit b of md5(token)).
+
+    One groupBy over token rows with 32 bit-extract aggregate expressions —
+    no `explode(sequence(0,31))` row amplification (round-1 VERDICT stretch):
+    the per-bit counters ride in the same map-side partial aggregation, so
+    the shuffle is O(docs), not O(docs×32)."""
     docs = _load_docs(spark, sf_dir)
     toks = docs.select(
         "doc_id",
         F.explode(F.array_distinct(F.split("text", " "))).alias("token"),
     ).where(F.col("token") != "")
     tok_hash = toks.select("doc_id", _md5int(F.col("token")).alias("h"))
-    bits = tok_hash.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("b"),
-        "h",
-    ).select(
-        "doc_id",
-        "b",
-        (F.expr("shiftright(h, b)").bitwiseAND(F.lit(1)) * 2 - 1).alias("v"),
-    )
-    return (
-        bits.groupBy("doc_id", "b")
-        .agg(F.sum("v").alias("s"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.when(F.col("s") >= 0, F.expr("shiftleft(cast(1 as bigint), b)")).otherwise(0)
-            ).alias("simhash")
-        )
-    )
+    per_bit = [
+        F.sum(
+            F.expr(f"shiftright(h, {b})").bitwiseAND(F.lit(1)) * 2 - 1
+        ).alias(f"s{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    sig = tok_hash.groupBy("doc_id").agg(*per_bit)
+    acc = F.lit(0).cast("bigint")
+    for b in range(SIMHASH_BITS):
+        acc = acc + F.when(F.col(f"s{b}") >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return sig.select("doc_id", acc.cast("bigint").alias("simhash"))
 
 
 ORACLE_DEDUP_SIMHASH = f"""
@@ -325,7 +322,7 @@ bits AS (
   FROM th, generate_series(0, {SIMHASH_BITS - 1}) AS g(b)
   GROUP BY doc_id, b)
 SELECT doc_id,
-       sum(CASE WHEN s >= 0 THEN (1::bigint << b) ELSE 0 END) AS simhash
+       sum(CASE WHEN s >= 0 THEN (1::bigint << b) ELSE 0 END)::BIGINT AS simhash
 FROM bits GROUP BY doc_id
 """
 

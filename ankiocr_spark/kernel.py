@@ -171,8 +171,11 @@ _STARTTAG_END = _hp.locatestarttagend_tolerant
 _ENDTAG = _hp.endtagfind
 _COMMENT_CLOSE = _hp.commentclose
 
+# Full close-tag pattern, exactly stdlib set_cdata_mode's `interesting`
+# regex (r'</\s*%s\s*>'): a mismatched name ('</scriptfoo>') or attributed
+# close ('</script x>') is raw data and does NOT end cdata mode.
 _CDATA_CLOSE = {
-    t: re.compile(r"</\s*%s" % t, re.IGNORECASE) for t in ("script", "style")
+    t: re.compile(r"</\s*%s\s*>" % t, re.IGNORECASE) for t in ("script", "style")
 }
 # marked-section machinery mirrored from _markupbase: ']]>' closes the
 # standard sections, ']>' closes the MS-Office conditional ones; unknown
@@ -185,12 +188,10 @@ _SECT_STD = frozenset({"temp", "cdata", "ignore", "include", "rcdata"})
 _SECT_MS = frozenset({"if", "else", "endif"})
 
 
-def _emit_incomplete(
-    handler: "_BlockParser", s: str, j: int, raw: bool = False
-) -> int:
+def _emit_incomplete(handler: "_BlockParser", s: str, j: int) -> int:
     """stdlib goahead's end-of-feed fallback for a construct that failed to
     parse: emit up to the next '>' (inclusive) / next '<' / one char as
-    data (unescaped outside cdata mode), and resume from there."""
+    data (unescaped), and resume from there."""
     k = s.find(">", j + 1)
     if k < 0:
         k = s.find("<", j + 1)
@@ -199,7 +200,7 @@ def _emit_incomplete(
     else:
         k += 1
     seg = s[j:k]
-    handler.handle_data(seg if raw or "&" not in seg else _unescape(seg))
+    handler.handle_data(_unescape(seg) if "&" in seg else seg)
     return k
 
 
@@ -217,18 +218,12 @@ def _fast_feed(handler: "_BlockParser", s: str) -> None:
                 break  # unterminated raw-text element: stdlib drops the rest
             if m.start() > i:
                 handler.handle_data(s[i:m.start()])
-            e = _ENDTAG.match(s, m.start())
-            if e:
-                handler.handle_endtag(e.group(1).lower())
-                i = e.end()
-                cdata_close = None
-            else:
-                gt = s.find(">", m.start() + 1)
-                if gt < 0:  # incomplete end tag at EOF, raw data (no unescape)
-                    i = _emit_incomplete(handler, s, m.start(), raw=True)
-                else:  # malformed close ('</script x>'): raw data, stay cdata
-                    handler.handle_data(s[m.start():gt])
-                    i = gt
+            # cdata_close is the full `</\s*elem\s*>` (stdlib set_cdata_mode),
+            # so endtagfind necessarily matches the same span here with
+            # exactly the cdata element's name.
+            handler.handle_endtag(_ENDTAG.match(s, m.start()).group(1).lower())
+            i = m.end()
+            cdata_close = None
             continue
         j = s.find("<", i)
         if j < 0:

@@ -367,7 +367,7 @@ def q_error_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_ERROR_REPORT = """
 SELECT CASE WHEN text IS NULL THEN 'null_html' ELSE 'ok' END AS error_class,
        count(*) AS n_pages,
-       sum(CASE WHEN text IS NULL THEN 0 ELSE 1 END) AS n_with_text
+       sum(CASE WHEN text IS NULL THEN 0 ELSE 1 END)::BIGINT AS n_with_text
 FROM documents
 GROUP BY CASE WHEN text IS NULL THEN 'null_html' ELSE 'ok' END
 """
@@ -477,7 +477,7 @@ ORACLE_SQL = {
         "FROM documents"
     ),
     "run_metrics": (
-        "SELECT lang, count(*) AS docs_done, sum(n_chars) AS chars_total, "
+        "SELECT lang, count(*) AS docs_done, sum(n_chars)::BIGINT AS chars_total, "
         "round(avg(n_chars), 4) AS chars_per_doc FROM documents GROUP BY lang"
     ),
 }

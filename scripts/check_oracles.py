@@ -24,23 +24,43 @@ TABLES = (
 )
 
 
-def value_hash(rows, colnames) -> str:
-    """Order-insensitive hash: per-row canonical repr over name-sorted
-    columns, rows sorted, md5."""
-    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+def canon_hash(pdf) -> tuple:
+    """Driver-faithful canonicalization over a pandas frame: columns sorted
+    by name, rows sorted, values + DTYPES hashed. Returns (hash, dtypes,
+    problem). Unlike a fetchall()/repr compare, this catches (a) DuckDB
+    HUGEINT (int128 → object/float in pandas) vs Spark BIGINT (int64) —
+    identical values, different dtype, driver hash_match=false — and (b)
+    list-typed columns, which crash the driver's sort_values canonicalizer
+    (round-1 `multimodal_features` err: unhashable type 'list')."""
+    cols = sorted(pdf.columns)
+    pdf = pdf[cols]
+    problem = None
     canon = []
-    for row in rows:
+    dtypes = []
+    for c in cols:
+        s = pdf[c]
+        dtypes.append(str(s.dtype))
+        if s.dtype == object and s.map(
+            lambda v: isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray"
+        ).any():
+            problem = f"column {c!r} holds array values (driver canonicalizer crashes)"
+    for _, row in pdf.iterrows():
         vals = []
-        for i in order:
-            v = row[i]
+        for c in cols:
+            v = row[c]
             if isinstance(v, float):
                 v = f"{v:.6g}"
             elif isinstance(v, bytes):
                 v = v.hex()
-            vals.append(repr(v))
+            else:
+                v = str(v)
+            vals.append(v)
         canon.append("|".join(vals))
     canon.sort()
-    return hashlib.md5("\n".join(canon).encode()).hexdigest()[:16]
+    digest = hashlib.md5(
+        ("\n".join(canon) + "\n#dtypes:" + ",".join(dtypes)).encode()
+    ).hexdigest()[:16]
+    return digest, dtypes, problem
 
 
 def main() -> int:
@@ -64,28 +84,33 @@ def main() -> int:
         if only and name not in only:
             continue
         sdf = fn(spark, sf_dir)
-        srows = [tuple(r) for r in sdf.collect()]
-        scols = sdf.columns
+        spdf = sdf.toPandas()
+        scols = list(spdf.columns)
         if name not in oracles:
-            print(f"{name:24s} rows={len(srows):7d}  (no oracle — rows-only)")
+            print(f"{name:24s} rows={len(spdf):7d}  (no oracle — rows-only)")
             continue
-        cur = con.execute(oracles[name])
-        ocols = [d[0] for d in cur.description]
-        orows = cur.fetchall()
-        ok_rows = len(srows) == len(orows)
+        opdf = con.execute(oracles[name]).df()
+        ocols = list(opdf.columns)
+        ok_rows = len(spdf) == len(opdf)
         ok_cols = sorted(scols) == sorted(ocols)
-        sh = value_hash(srows, scols)
-        oh = value_hash(orows, ocols)
+        sh, sdt, sprob = canon_hash(spdf)
+        oh, odt, oprob = canon_hash(opdf)
         ok_hash = sh == oh
-        status = "OK " if (ok_rows and ok_cols and ok_hash) else "FAIL"
+        ok_prob = sprob is None and oprob is None
+        status = "OK " if (ok_rows and ok_cols and ok_hash and ok_prob) else "FAIL"
         print(
-            f"{name:24s} {status} rows {len(srows)}/{len(orows)} "
+            f"{name:24s} {status} rows {len(spdf)}/{len(opdf)} "
             f"cols={'=' if ok_cols else sorted(scols)!r} hash {sh}/{oh}"
         )
         if status == "FAIL":
             failures.append(name)
             if not ok_cols:
                 print(f"  spark cols: {sorted(scols)}\n  duck  cols: {sorted(ocols)}")
+            if sdt != odt:
+                print(f"  spark dtypes: {sdt}\n  duck  dtypes: {odt}")
+            for side, prob in (("spark", sprob), ("duck", oprob)):
+                if prob:
+                    print(f"  {side}: {prob}")
     spark.stop()
     if failures:
         print("FAILURES:", failures)

@@ -19,7 +19,11 @@ SETTINGS = dict(max_examples=60, deadline=None)
 _tagish = st.sampled_from(
     ["<p>", "</p>", "<div>", "</div>", "<a href='/x'>", "</a>", "<br/>",
      "<script>", "</script>", "<nav>", "</nav>", "&amp;", "&#65;", "<h1>",
-     "</h1>", "<li>", "<", ">", "&", "\x00", "\n"]
+     "</h1>", "<li>", "<", ">", "&", "\x00", "\n",
+     # cdata-mode close-tag lookalikes: mismatched name / attributed close /
+     # whitespace-and-case variants must stay raw data inside script/style
+     "</scriptfoo>", "</script x>", "</ ScRiPt  >", "<style>", "</style>",
+     "</stylesheet>"]
 )
 _textish = st.text(max_size=40)
 _htmlish = st.lists(st.one_of(_tagish, _textish), max_size=30).map("".join)
@@ -83,6 +87,33 @@ def test_fast_tokenizer_matches_stdlib_parser(payload):
     except Exception:
         return  # stdlib crashed; fast path already proved more robust
     assert fast == slow
+
+
+def test_cdata_close_lookalikes_stay_raw():
+    """Regression (round-1 ADVICE): a close tag whose name merely starts
+    with the cdata element ('</scriptfoo>') or carries junk ('</script x>')
+    must NOT end script/style raw-text mode — stdlib's set_cdata_mode only
+    stops at the full `</\\s*elem\\s*>`. The fast path previously fired a
+    phantom handle_endtag('scriptfoo'), poisoning the prune stack and
+    silently dropping all following content."""
+    cases = [
+        b"<script>var s = '</scriptfoo>'; var t = '<style>'; </script>"
+        b"<p>real paragraph long enough to clear the keep floor easily</p>",
+        b"<script>a</script x>b</script>"
+        b"<p>paragraph of sufficiently long body text to keep here now</p>",
+        b"<style>.x{content:'</stylesheet>'}</style>"
+        b"<p>another paragraph of sufficiently long body text kept too</p>",
+        b"<script>x</ ScRiPt  >"
+        b"<p>case and whitespace tolerant close, long enough to keep it</p>",
+        b"<script>unterminated </scri",
+    ]
+    for payload in cases:
+        fast = extract_spans(payload, _use_fast=True)
+        slow = extract_spans(payload, _use_fast=False)
+        assert fast == slow, payload
+    # the flagship case extracts exactly the real paragraph
+    texts = [b.text for b in extract_spans(cases[0]) if b.kept]
+    assert texts == ["real paragraph long enough to clear the keep floor easily"]
 
 
 def test_fast_tokenizer_matches_stdlib_on_fixtures():
