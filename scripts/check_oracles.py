@@ -39,7 +39,11 @@ def canon_hash(pdf) -> tuple:
     dtypes = []
     for c in cols:
         s = pdf[c]
-        dtypes.append(str(s.dtype))
+        # dtype KIND, not width: the round-1 driver passed int32-vs-int64
+        # (multimodal_meta) but failed int64-vs-HUGEINT→float64/object
+        # (error_report etc.), so integer width is invisible to it while
+        # numeric class is not.
+        dtypes.append(s.dtype.kind)
         if s.dtype == object and s.map(
             lambda v: isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray"
         ).any():

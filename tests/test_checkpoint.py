@@ -68,6 +68,53 @@ def test_resume_is_noop_when_complete(spark, pages_dir, tmp_path):
     assert s2["buckets_processed"] == 0 and s2["buckets_skipped"] == 4
 
 
+def test_resume_survives_static_overwrite_conf(spark, pages_dir, tmp_path):
+    """Regression (round-1 VERDICT #3): under a caller-built session with
+    the default partitionOverwriteMode=static, a resume previously WIPED
+    completed buckets (mode('overwrite') replaced the whole table).
+    resumable_extract must pin dynamic mode itself."""
+    out = str(tmp_path / "out_static")
+    ledger = str(tmp_path / "ledger_static")
+    cfg = ExtractConfig(salt_buckets=BUCKETS, checkpoint_dir=ledger)
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+        with pytest.raises(RuntimeError, match="simulated failure"):
+            resumable_extract(spark, pages_dir, out, cfg,
+                              bucket_groups=4, fail_after_groups=2)
+        # resume under a static-mode session: completed buckets must survive
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+        resumable_extract(spark, pages_dir, out, cfg, bucket_groups=4)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    result = spark.read.parquet(out)
+    assert result.count() == N
+    assert result.select("url").distinct().count() == N
+
+
+def test_one_scan_per_group(spark, pages_dir, tmp_path):
+    """Regression (round-1 VERDICT #4): the ledger metrics must ride the
+    write job's single input scan (accumulator), not separate agg jobs.
+    One bucket group ⇒ the write job + the ledger-append job only."""
+    out = str(tmp_path / "out_jobs")
+    cfg = ExtractConfig(salt_buckets=4, checkpoint_dir=str(tmp_path / "led_jobs"))
+    sc = spark.sparkContext
+    sc.setJobGroup("ckpt-one-scan", "count jobs per checkpoint group")
+    try:
+        resumable_extract(spark, pages_dir, out, cfg, bucket_groups=1)
+    finally:
+        sc.setJobGroup("", "")
+    jobs = spark.sparkContext.statusTracker().getJobIdsForGroup("ckpt-one-scan")
+    # old shape: in-stats collect + write + out-stats collect + ledger ≥ 4
+    assert len(jobs) <= 3, f"expected ≤3 jobs (write + ledger), got {len(jobs)}"
+    # and the metrics are still real: rows_in matches the actual input
+    led = spark.read.parquet(str(tmp_path / "led_jobs"))
+    assert led.agg(F.sum("rows_in")).collect()[0][0] == N
+    assert led.agg(F.sum("bytes_in")).collect()[0][0] > 0
+
+
 def test_kernel_version_change_invalidates_ledger(spark, pages_dir, tmp_path):
     """A kernel upgrade must force recomputation: ledger rows written by a
     different kernel_version do not count as completed (the lineage

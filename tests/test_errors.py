@@ -42,11 +42,18 @@ def test_preflight_wrong_type(spark):
         preflight(spark, bad)
 
 
-def test_preflight_requires_arrow(spark):
+def test_preflight_enables_arrow(spark):
+    """An externally built session (conf defaults to false in OSS Spark)
+    must not be rejected — preflight sets the conversion conf itself
+    (mapInPandas is Arrow-batched regardless; the conf only gates
+    toPandas/createDataFrame)."""
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "false")
     try:
-        with pytest.raises(PreflightError, match="arrow"):
-            preflight(spark)
+        preflight(spark)
+        assert (
+            spark.conf.get("spark.sql.execution.arrow.pyspark.enabled")
+            == "true"
+        )
     finally:
         spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
 

@@ -126,6 +126,23 @@ def test_extract_job_end_to_end(spark, tmp_path, pages_goldens):
     assert recheck.count() == 0
 
 
+def test_extract_job_output_not_fragmented(spark, tmp_path, pages_goldens):
+    """Regression (round-1 ADVICE): with the map-only hot path, every scan
+    task could emit a file per bucket → O(tasks × buckets) small files.
+    extract_job clusters by bucket pre-write, capping data files at
+    salt_buckets."""
+    import glob
+
+    pages, _ = pages_goldens
+    in_dir = str(tmp_path / "pages_frag")
+    out_dir = str(tmp_path / "out_frag")
+    # many input files → many scan tasks
+    pages.repartition(16).write.parquet(in_dir)
+    extract_job(spark, in_dir, out_dir, ExtractConfig(salt_buckets=8))
+    data_files = glob.glob(f"{out_dir}/bucket=*/*.parquet")
+    assert 0 < len(data_files) <= 8, f"{len(data_files)} files"
+
+
 def test_lang_filter_pushdown(spark, pages_goldens):
     pages, _ = pages_goldens
     out = run_extract(spark, pages, ExtractConfig(lang_filter=["eng"], salt_buckets=4))
