@@ -31,8 +31,14 @@ class ExtractConfig:
     output_mode: str = "text_column"
 
     #: skip pages that already have a non-null extract (config.md
-    #: ``overwrite_existing`` analog).
+    #: ``overwrite_existing`` analog); consumed by evolve.add_extracted_column
+    #: via evolve.evolve_with_config.
     overwrite_existing: bool = True
+
+    #: keep literal space runs inside a block verbatim (the reference's
+    #: tesseract ``preserve_interword_spaces`` flag, config.json:8); default
+    #: False = collapse all whitespace runs to single spaces.
+    preserve_interword_spaces: bool = False
 
     #: salted-repartition bucket count (north_rule skew handling); also the
     #: output partition key, so re-runs and merges are partition-local.
@@ -57,7 +63,10 @@ class ExtractConfig:
     #: per-partition checkpoint ledger location (None = no checkpointing).
     checkpoint_dir: Optional[str] = None
 
-    #: keep only (url, html) in the kernel input projection (SURVEY.md §4).
+    #: extra input columns to carry through the kernel stage into the output
+    #: (rides the same Arrow batch; text mode only). Default empty: only
+    #: (url, html) cross the Python boundary (SURVEY.md §4) — the binary
+    #: payload dominates, so keep this to small scalar columns.
     extra_passthrough_cols: List[str] = field(default_factory=list)
 
     def __post_init__(self) -> None:

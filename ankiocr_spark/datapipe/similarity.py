@@ -14,6 +14,8 @@ the oracle reproduces them exactly.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -95,10 +97,54 @@ SELECT query_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= {TOP_K}
 """
 
 
-def q_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (cosine ≥ threshold) over all
-    pairs. Correctness baseline only — the LSH bucket join below is what
-    runs at scale."""
+#: embeddings are 64-d at every sf (asserted in tests); the oracle needs the
+#: constant because DuckDB 1.0 cannot lateral-join generate_series on len(emb)
+EMB_DIM = 64
+
+
+def _srp_weights(n_planes: int = N_PLANES) -> list:
+    """n_planes × EMB_DIM hyperplane weights, computed driver-side:
+    w(j, d) = ((md5int(f"{j},{d}") % 2001) - 1000) / 1000 ∈ [-1, 1].
+    Deterministic (md5), so the DuckDB oracle reproduces them exactly and
+    Spark can embed them as LITERAL arrays — the bucket becomes a pure
+    projection (no posexplode row amplification, no shuffle at all)."""
+    return [
+        [
+            ((int(hashlib.md5(f"{j},{d}".encode()).hexdigest()[:15], 16) % 2001)
+             - 1000) / 1000.0
+            for d in range(EMB_DIM)
+        ]
+        for j in range(n_planes)
+    ]
+
+
+def _sign_col(emb_col, weight_row) -> "F.Column":
+    """sign(emb · w) ≥ 0 as a boolean codegen expression."""
+    warr = F.array(*[F.lit(v) for v in weight_row])
+    s = F.round(
+        F.aggregate(
+            F.zip_with(emb_col, warr, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ),
+        6,
+    )
+    return s >= 0
+
+
+def srp_bucket_col(emb_col) -> "F.Column":
+    """8-bit sign-random-projection bucket of an embedding column, as a
+    single whole-stage-codegen expression over literal weight arrays."""
+    acc = F.lit(0)
+    for j, row in enumerate(_srp_weights()):
+        acc = acc + F.when(_sign_col(emb_col, row), F.lit(1 << j)).otherwise(F.lit(0))
+    return acc.cast("int")
+
+
+def neardup_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs exact near-dup — O(n²) crossJoin, TEST ORACLE ONLY (not a
+    driver query): verifies the bucketed path's precision/recall in
+    tests/test_similarity.py. Never run this shape at scale."""
     emb = _load_emb(spark, sf_dir)
     a = emb.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea"))
     b = emb.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb"))
@@ -118,15 +164,110 @@ def q_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.where(F.col("cosine") >= COSINE_THRESHOLD)
 
 
+#: banded SRP-LSH for near-dup candidate generation: BANDS bands of
+#: BAND_BITS planes each (plane j = band*BAND_BITS + bit). A pair is a
+#: candidate iff ALL signs agree in ≥1 band. Recall/candidate-rate dial:
+#: more bits per band → fewer random collisions (rate 2^-bits per band on
+#: orthogonal data — size bits ~ log2(n) at scale), more bands → higher
+#: recall. 4×4 suits the synthetic corpus whose near-dups sit at cosine
+#: 0.45–0.6 (barely above the random cloud).
+NEARDUP_BANDS = 4
+NEARDUP_BAND_BITS = 4
+
+
+def q_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, SCALE SHAPE (round-1 VERDICT
+    perf item): banded SRP-LSH equi-join generates candidate pairs, exact
+    cosine verifies them — no unguarded cartesian anywhere. Precision is
+    exact (every emitted pair is verified); recall is the LSH union over
+    bands. The oracle runs the SAME algorithm so the check is exact; the
+    brute-force form survives as ``neardup_cosine_bruteforce`` for the
+    precision/recall test.
+
+    At 10^9 vectors: band buckets are a pure projection, the candidate
+    join shuffles O(vectors × BANDS) rows on (band, bucket), per-bucket
+    pair work is bounded by collision rate × bucket size."""
+    emb = _load_emb(spark, sf_dir)
+    ws = _srp_weights(NEARDUP_BANDS * NEARDUP_BAND_BITS)
+    band_structs = []
+    for band in range(NEARDUP_BANDS):
+        acc = F.lit(0)
+        for bit in range(NEARDUP_BAND_BITS):
+            row = ws[band * NEARDUP_BAND_BITS + bit]
+            acc = acc + F.when(
+                _sign_col(F.col("emb"), row), F.lit(1 << bit)
+            ).otherwise(F.lit(0))
+        band_structs.append(
+            F.struct(F.lit(band).alias("band"), acc.cast("int").alias("bucket"))
+        )
+    tagged = emb.select(
+        "vec_id", "emb", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("vec_id", "emb", "bb.band", "bb.bucket")
+    a = tagged.select("band", "bucket", F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea"))
+    b = tagged.select("band", "bucket", F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb"))
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", "ea", "eb")
+        .dropDuplicates(["vec_a", "vec_b"])  # pair may collide in >1 band
+    )
+    scored = cand.select(
+        "vec_a",
+        "vec_b",
+        F.round(
+            _dot(F.col("ea"), F.col("eb"))
+            / (
+                F.sqrt(_dot(F.col("ea"), F.col("ea")))
+                * F.sqrt(_dot(F.col("eb"), F.col("eb")))
+            ),
+            6,
+        ).alias("cosine"),
+    )
+    return scored.where(F.col("cosine") >= COSINE_THRESHOLD)
+
+
+#: shared DuckDB CTE: per-plane projection signs (planes 0..n-1), reused by
+#: the single-bucket (ann_lsh_buckets) and banded (neardup) oracles —
+#: identical math to _srp_weights/_sign_col.
+def _sql_proj(n_planes: int) -> str:
+    return f"""
+e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+proj AS (
+  SELECT vec_id, j,
+         round(list_sum(list_transform(
+             list_zip(emb, generate_series(0, {EMB_DIM - 1})),
+             x -> x[1] * ((((('0x' || substr(md5(j || ',' || x[2]), 1, 15))::bigint % 2001) - 1000)::DOUBLE) / 1000.0)
+         )), 6) AS s
+  FROM e, generate_series(0, {n_planes - 1}) AS gj(j))
+"""
+
+
+_SQL_BUCKETS = (
+    _sql_proj(N_PLANES)
+    + """,
+bkt AS (
+  SELECT vec_id,
+         (sum(CASE WHEN s >= 0 THEN (1 << j) ELSE 0 END))::int AS bucket
+  FROM proj GROUP BY vec_id)
+"""
+)
+
 ORACLE_NEARDUP = f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+WITH {_sql_proj(NEARDUP_BANDS * NEARDUP_BAND_BITS)},
+bb AS (
+  SELECT vec_id, (j // {NEARDUP_BAND_BITS})::int AS band,
+         (sum(CASE WHEN s >= 0 THEN (1 << (j % {NEARDUP_BAND_BITS})) ELSE 0 END))::int AS bucket
+  FROM proj GROUP BY vec_id, (j // {NEARDUP_BAND_BITS})::int),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bb a JOIN bb b USING (band, bucket) WHERE a.vec_id < b.vec_id),
 scored AS (
-  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         round(list_sum(list_transform(list_zip(a.emb, b.emb), x -> x[1] * x[2]))
-               / (sqrt(list_sum(list_transform(a.emb, x -> x * x)))
-                * sqrt(list_sum(list_transform(b.emb, x -> x * x)))),
+  SELECT c.vec_a, c.vec_b,
+         round(list_sum(list_transform(list_zip(ea.emb, eb.emb), x -> x[1] * x[2]))
+               / (sqrt(list_sum(list_transform(ea.emb, x -> x * x)))
+                * sqrt(list_sum(list_transform(eb.emb, x -> x * x)))),
          6) AS cosine
-  FROM e a, e b WHERE a.vec_id < b.vec_id)
+  FROM cand c JOIN e ea ON c.vec_a = ea.vec_id JOIN e eb ON c.vec_b = eb.vec_id)
 SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= {COSINE_THRESHOLD}
 """
 
@@ -134,62 +275,15 @@ SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= {COSINE_THRESHOLD}
 def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-random-projection LSH: 8 md5-derived hyperplanes → 8-bit bucket
     per vector. Near vectors collide; candidate pairs come from a bucket
-    equi-join instead of a cross product (the ANN scale path)."""
+    equi-join instead of a cross product (the ANN scale path). The bucket
+    is a pure codegen projection over literal weights (srp_bucket_col) —
+    zero shuffles, zero row amplification."""
     emb = _load_emb(spark, sf_dir)
-    dims = emb.select(
-        "vec_id", F.posexplode("emb").alias("d", "val")
-    )
-    planes = dims.select(
-        "vec_id",
-        "d",
-        "val",
-        F.explode(F.sequence(F.lit(0), F.lit(N_PLANES - 1))).alias("j"),
-    )
-    # w(j, d) = ((md5int(j || ',' || d) % 2001) - 1000) / 1000  ∈ [-1, 1]
-    w = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.col("j").cast("string"), F.lit(","), F.col("d").cast("string"))),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % 2001
-        - 1000
-    ) / 1000.0
-    proj = planes.select("vec_id", "j", (F.col("val") * w).alias("contrib"))
-    sums = proj.groupBy("vec_id", "j").agg(
-        F.round(F.sum("contrib"), 6).alias("s")
-    )
-    return (
-        sums.groupBy("vec_id")
-        .agg(
-            F.sum(
-                F.when(F.col("s") >= 0, F.expr("shiftleft(1, j)")).otherwise(0)
-            ).alias("bucket")
-        )
-        .select("vec_id", F.col("bucket").cast("int").alias("bucket"))
-    )
-
-
-#: embeddings are 64-d at every sf (asserted in tests); the oracle needs the
-#: constant because DuckDB 1.0 cannot lateral-join generate_series on len(emb)
-EMB_DIM = 64
+    return emb.select("vec_id", srp_bucket_col(F.col("emb")).alias("bucket"))
 
 ORACLE_ANN_LSH = f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-proj AS (
-  SELECT vec_id, j,
-         round(list_sum(list_transform(
-             list_zip(emb, generate_series(0, {EMB_DIM - 1})),
-             x -> x[1] * ((((('0x' || substr(md5(j || ',' || x[2]), 1, 15))::bigint % 2001) - 1000)::DOUBLE) / 1000.0)
-         )), 6) AS s
-  FROM e, generate_series(0, {N_PLANES - 1}) AS gj(j))
-SELECT vec_id,
-       (sum(CASE WHEN s >= 0 THEN (1 << j) ELSE 0 END))::int AS bucket
-FROM proj GROUP BY vec_id
+WITH {_SQL_BUCKETS}
+SELECT vec_id, bucket FROM bkt
 """
 
 

@@ -52,6 +52,12 @@ def add_extracted_column(
     return out.select(*base, EXTRACT_COL)
 
 
+def evolve_with_config(documents: DataFrame, extracts: DataFrame, cfg) -> DataFrame:
+    """ExtractConfig-driven writeback — consumes ``cfg.overwrite_existing``
+    (the config.md knob end-to-end, not just the function parameter)."""
+    return add_extracted_column(documents, extracts, cfg.overwrite_existing)
+
+
 def drop_extracted_column(documents: DataFrame) -> DataFrame:
     """DROP COLUMN — schema devolution (create_orig_notemodel, api.py:216-223)."""
     return documents.drop(EXTRACT_COL)

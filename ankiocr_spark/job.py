@@ -43,38 +43,66 @@ SPANS_SCHEMA = (
 )
 
 
+def make_extract_batches(
+    preserve_spaces: bool = False, extra_cols: tuple = ()
+):
+    """Build the fused kernel stage with mode/passthrough baked in.
+
+    ``extra_cols`` ride the same Arrow batch: the kernel emits exactly one
+    record per input row IN ORDER, so the extra columns re-attach
+    positionally — the Arrow analog of the reference's ``batch_mapping``
+    positional rejoin (ocr.py:151-161), with zero joins.
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls = pdf["url"].tolist()
+            htmls = pdf["html"].tolist()
+            out = pd.DataFrame.from_records(
+                extract_record(u, h, preserve_spaces=preserve_spaces)
+                for u, h in zip(urls, htmls)
+            )
+            for c in extra_cols:
+                out[c] = pdf[c].values
+            yield out
+
+    return fn
+
+
 def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Fused strip→score→extract→clean over Arrow batches.
+    """Fused strip→score→extract→clean over Arrow batches (default mode).
 
     One pandas stage, one Arrow round-trip (SURVEY.md §4 "fused pipeline");
-    the per-row loop below is *inside* a vectorized batch — the same
-    granularity as the reference's per-manifest loop (ocr.py:90), not a
-    per-row Spark UDF.
+    the per-row loop is *inside* a vectorized batch — the same granularity
+    as the reference's per-manifest loop (ocr.py:90), not a per-row Spark
+    UDF.
     """
-    for pdf in batches:
-        urls = pdf["url"].tolist()
-        htmls = pdf["html"].tolist()
-        yield pd.DataFrame.from_records(
-            extract_record(u, h) for u, h in zip(urls, htmls)
-        )
+    yield from make_extract_batches()(batches)
 
 
-def _spans_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def make_spans_batches(preserve_spaces: bool = False):
     """Span-level variant — the "tooltip" writeback analog (api.py:230-236):
     one output row per scored block instead of one per page."""
     cols = ["url", "block_id", "tag", "text", "n_chars", "link_density", "kept"]
-    for pdf in batches:
-        rows = []
-        for url, html in zip(pdf["url"].tolist(), pdf["html"].tolist()):
-            if html is None:
-                continue
-            try:
-                for b in extract_spans(html):
-                    rows.append((url, b.block_id, b.tag, b.text, b.n_chars,
-                                 b.link_density, b.kept))
-            except Exception:
-                continue  # quarantined by the text-mode job; spans mode skips
-        yield pd.DataFrame(rows, columns=cols)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for url, html in zip(pdf["url"].tolist(), pdf["html"].tolist()):
+                if html is None:
+                    continue
+                try:
+                    for b in extract_spans(html, preserve_spaces=preserve_spaces):
+                        rows.append((url, b.block_id, b.tag, b.text, b.n_chars,
+                                     b.link_density, b.kept))
+                except Exception:
+                    continue  # quarantined by the text-mode job; spans skips
+            yield pd.DataFrame(rows, columns=cols)
+
+    return fn
+
+
+_spans_batches = make_spans_batches()
 
 
 def salted(df: DataFrame, buckets: int) -> DataFrame:
@@ -117,15 +145,31 @@ def run_extract(
     if cfg.lang_filter:
         pages = pages.where(F.col("lang").isin(cfg.lang_filter))
 
-    projected = pages.select("url", "html")
+    extras = tuple(cfg.extra_passthrough_cols)
+    if extras and cfg.output_mode == "spans":
+        raise ValueError(
+            "extra_passthrough_cols requires output_mode='text_column' "
+            "(span mode emits a variable number of rows per page, so "
+            "positional passthrough is undefined)"
+        )
+    projected = pages.select("url", "html", *extras)
     # map-only hot path: no pre-kernel shuffle unless explicitly requested
     # (skew is handled by split sizing above; see ExtractConfig.presalt_shuffle)
     part = salted(projected, cfg.salt_buckets) if cfg.presalt_shuffle else projected
+    part = part.select("url", "html", *extras)
 
     if cfg.output_mode == "spans":
-        out = part.select("url", "html").mapInPandas(_spans_batches, SPANS_SCHEMA)
+        out = part.mapInPandas(
+            make_spans_batches(cfg.preserve_interword_spaces), SPANS_SCHEMA
+        )
     else:
-        out = part.select("url", "html").mapInPandas(_extract_batches, EXTRACT_SCHEMA)
+        schema = EXTRACT_SCHEMA
+        if extras:
+            typed = {f.name: f.dataType.simpleString() for f in pages.schema.fields}
+            schema += ", " + ", ".join(f"{c} {typed[c]}" for c in extras)
+        out = part.mapInPandas(
+            make_extract_batches(cfg.preserve_interword_spaces, extras), schema
+        )
     # re-attach the bucket for partitioned writes without recomputing the hash
     return out.withColumn(
         "bucket", F.pmod(F.xxhash64(F.col("url")), F.lit(cfg.salt_buckets)).cast("int")

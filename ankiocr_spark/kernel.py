@@ -71,6 +71,17 @@ def _normalize(text: str) -> str:
     return " ".join(text.split())
 
 
+#: preserve-interword-spaces mode (reference config.json:8, the tesseract
+#: ``preserve_interword_spaces`` flag): runs of NON-SPACE whitespace still
+#: normalize to one space, but literal space runs inside a block survive
+#: verbatim. Ends are stripped either way.
+_NON_SPACE_WS = re.compile(r"[^\S ]+")
+
+
+def _normalize_preserve(text: str) -> str:
+    return _NON_SPACE_WS.sub(" ", text).strip()
+
+
 @dataclass(frozen=True)
 class Block:
     block_id: int
@@ -86,20 +97,21 @@ class _BlockParser(HTMLParser):
     boundaries, tracking anchor-text length per segment for link-density
     scoring. Prune-tag subtrees contribute nothing."""
 
-    def __init__(self) -> None:
+    def __init__(self, preserve_spaces: bool = False) -> None:
         super().__init__(convert_charrefs=True)
         self._prune_stack: List[str] = []
         self._anchor_depth = 0
         self._pieces: List[str] = []
         self._link_pieces: List[str] = []
         self._segment_tag = "body"
+        self._norm = _normalize_preserve if preserve_spaces else _normalize
         self.segments: List[Tuple[str, str, str]] = []  # (tag, text, link_text)
 
     # -- segment management -------------------------------------------------
     def _flush(self, tag_for_segment: str) -> None:
-        text = _normalize("".join(self._pieces))
+        text = self._norm("".join(self._pieces))
         if text:
-            link_text = _normalize("".join(self._link_pieces))
+            link_text = self._norm("".join(self._link_pieces))
             self.segments.append((tag_for_segment, text, link_text))
         self._pieces = []
         self._link_pieces = []
@@ -321,7 +333,9 @@ def _decode(html) -> str:
     return str(html)
 
 
-def extract_spans(html, _use_fast: bool = True) -> List[Block]:
+def extract_spans(
+    html, _use_fast: bool = True, preserve_spaces: bool = False
+) -> List[Block]:
     """Parse HTML (bytes or str) into scored blocks, document order.
 
     The analog of ``OCRField.parse_images`` (/root/reference/src/anki_ocr/
@@ -329,8 +343,10 @@ def extract_spans(html, _use_fast: bool = True) -> List[Block]:
     one record per block instead of one ``OCRImage`` per ``<img>`` tag.
     ``_use_fast=False`` routes through the stdlib parser — the reference
     implementation the fast tokenizer is equivalence-tested against.
+    ``preserve_spaces`` is the reference ``preserve_interword_spaces``
+    analog (config.json:8): literal space runs inside a block survive.
     """
-    parser = _BlockParser()
+    parser = _BlockParser(preserve_spaces=preserve_spaces)
     if _use_fast:
         _fast_feed(parser, _decode(html))
         parser._flush(parser._segment_tag)
@@ -348,18 +364,20 @@ def extract_spans(html, _use_fast: bool = True) -> List[Block]:
     return blocks
 
 
-def extract_main_text(html) -> str:
+def extract_main_text(html, preserve_spaces: bool = False) -> str:
     """Fused strip→score→extract→clean: the flagship scalar kernel.
 
     Document-order concatenation of kept blocks (the analog of Tesseract's
     layout-ordered output joined per batch, ocr.py:153), then the reference's
     exact text normalization (textclean.clean_text, ocr.py:141-149).
     """
-    kept = [b.text for b in extract_spans(html) if b.kept]
+    kept = [
+        b.text for b in extract_spans(html, preserve_spaces=preserve_spaces) if b.kept
+    ]
     return clean_text("\n".join(kept))
 
 
-def extract_record(url: Optional[str], html) -> dict:
+def extract_record(url: Optional[str], html, preserve_spaces: bool = False) -> dict:
     """Kernel wrapper with error quarantine — one output record per page.
 
     Failed rows get ``error`` set instead of raising (replaces the
@@ -371,7 +389,7 @@ def extract_record(url: Optional[str], html) -> dict:
         return {"url": url, "extracted_text": None, "n_blocks": 0, "n_chars": 0, "error": "null_html"}
     try:
         truncated = isinstance(html, (bytes, bytearray, memoryview)) and len(html) > MAX_HTML_BYTES
-        blocks = extract_spans(html)
+        blocks = extract_spans(html, preserve_spaces=preserve_spaces)
         kept = [b for b in blocks if b.kept]
         text = clean_text("\n".join(b.text for b in kept))
         return {

@@ -298,6 +298,59 @@ def q_schema_devolution_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return evolved.drop("extracted_text", "source", "n_chars")
 
 
+def q_evolve_keep_existing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """overwrite_existing=False end-to-end (config.md knob → ExtractConfig →
+    evolve.evolve_with_config): rows with a pre-existing extract keep it;
+    nulls fill from real kernel output. The reference behavior: skip notes
+    whose OCR field is already populated."""
+    from .evolve import evolve_with_config
+
+    pages = docs_as_pages(spark, sf_dir)
+    out = run_extract(spark, pages, ExtractConfig(salt_buckets=8))
+    docs = load(spark, sf_dir, "documents").select(
+        F.concat(F.lit(URL_PREFIX), F.col("doc_id").cast("string")).alias("url"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("OLD:"), F.col("doc_id").cast("string")),
+        ).alias("extracted_text"),
+    )
+    cfg = ExtractConfig(overwrite_existing=False)
+    return evolve_with_config(docs, out.select("url", "extracted_text"), cfg)
+
+
+ORACLE_EVOLVE_KEEP = f"""
+SELECT '{URL_PREFIX}' || doc_id AS url,
+       coalesce(CASE WHEN doc_id % 3 = 0 THEN 'OLD:' || doc_id END,
+                CASE WHEN length(trim(text)) >= 25
+                     THEN '{H1_TEXT}' || chr(10) || trim(text)
+                     ELSE '{H1_TEXT}' END) AS extracted_text
+FROM documents
+"""
+
+
+def q_extract_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """extra_passthrough_cols end-to-end: ``lang`` rides the kernel's Arrow
+    batch and re-attaches positionally — no post-kernel join needed to
+    recover input metadata (the zero-join form of the broadcast rejoin)."""
+    pages = docs_as_pages(spark, sf_dir)
+    out = run_extract(
+        spark,
+        pages,
+        ExtractConfig(salt_buckets=8, extra_passthrough_cols=["lang"]),
+    )
+    return out.select("url", "extracted_text", "lang")
+
+
+ORACLE_EXTRACT_PASSTHROUGH = f"""
+SELECT '{URL_PREFIX}' || doc_id AS url,
+       CASE WHEN length(trim(text)) >= 25
+            THEN '{H1_TEXT}' || chr(10) || trim(text)
+            ELSE '{H1_TEXT}' END AS extracted_text,
+       lang
+FROM documents
+"""
+
+
 # --- §2 row 12: the scalar cleaner as a relational expression -----------------
 
 def q_clean_text_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -401,6 +454,8 @@ QUERIES = {
     "filter_empty": q_filter_empty,
     "schema_evolution_add": q_schema_evolution_add,
     "schema_devolution_drop": q_schema_devolution_drop,
+    "evolve_keep_existing": q_evolve_keep_existing,
+    "extract_passthrough": q_extract_passthrough,
     "clean_text_sql": q_clean_text_sql,
     "remove_extracts": q_remove_extracts,
     "run_metrics": q_run_metrics,
@@ -460,6 +515,8 @@ ORACLE_SQL = {
         "FROM documents"
     ),
     "schema_devolution_drop": "SELECT doc_id, text, lang FROM documents",
+    "evolve_keep_existing": ORACLE_EVOLVE_KEEP,
+    "extract_passthrough": ORACLE_EXTRACT_PASSTHROUGH,
     "clean_text_sql": (
         "SELECT doc_id, regexp_replace(array_to_string(list_filter(list_transform("
         "  str_split('  head::line  ' || chr(10) || chr(10) || "

@@ -143,6 +143,35 @@ def test_extract_job_output_not_fragmented(spark, tmp_path, pages_goldens):
     assert 0 < len(data_files) <= 8, f"{len(data_files)} files"
 
 
+def test_passthrough_and_preserve_spaces(spark):
+    """extra_passthrough_cols rides the Arrow batch (positional rejoin, no
+    join); preserve_interword_spaces threads config → kernel."""
+    rows = [
+        ("u1", b"<p>two  spaces   kept in this long enough paragraph</p>", "eng"),
+        ("u2", b"<p>another sufficiently long paragraph for the floor</p>", "deu"),
+    ]
+    pages = spark.createDataFrame(rows, "url string, html binary, lang string")
+    out = run_extract(
+        spark,
+        pages,
+        ExtractConfig(
+            salt_buckets=2,
+            extra_passthrough_cols=["lang"],
+            preserve_interword_spaces=True,
+        ),
+    )
+    got = {r["url"]: (r["extracted_text"], r["lang"]) for r in out.collect()}
+    assert got["u1"] == ("two  spaces   kept in this long enough paragraph", "eng")
+    assert got["u2"] == ("another sufficiently long paragraph for the floor", "deu")
+    # spans mode rejects passthrough explicitly
+    with pytest.raises(ValueError, match="passthrough"):
+        run_extract(
+            spark,
+            pages,
+            ExtractConfig(output_mode="spans", extra_passthrough_cols=["lang"]),
+        )
+
+
 def test_lang_filter_pushdown(spark, pages_goldens):
     pages, _ = pages_goldens
     out = run_extract(spark, pages, ExtractConfig(lang_filter=["eng"], salt_buckets=4))

@@ -84,3 +84,27 @@ def test_fixture_goldens_match_kernel():
         assert got == row["expected_text"], row["url"]
         n_checked += 1
     assert n_checked > 250
+
+
+def test_preserve_interword_spaces_mode():
+    """The reference `preserve_interword_spaces` analog (config.json:8):
+    literal space runs inside a block survive; non-space whitespace still
+    normalizes; default mode collapses everything. Both modes golden-stable."""
+    html = (
+        b"<p>column one    column two\te n d</p>"
+        b"<p>second   paragraph with    aligned    text here</p>"
+    )
+    collapsed = extract_main_text(html)
+    preserved = extract_main_text(html, preserve_spaces=True)
+    assert collapsed == (
+        "column one column two e n d\n"
+        "second paragraph with aligned text here"
+    )
+    assert preserved == (
+        "column one    column two e n d\n"
+        "second   paragraph with    aligned    text here"
+    )
+    # determinism + idempotence of the mode flag
+    assert extract_main_text(html, preserve_spaces=True) == preserved
+    rec = extract_record("u", html, preserve_spaces=True)
+    assert rec["extracted_text"] == preserved
