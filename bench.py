@@ -79,7 +79,10 @@ def _kernel_throughput(spark) -> float:
     plan = lambda: run_extract(spark, pages, ExtractConfig(salt_buckets=128))  # noqa: E731
     plan().limit(2000).write.format("noop").mode("overwrite").save()
     best = float("inf")
-    for _ in range(3):
+    # best-of-5: measured rep-to-rep swings reach 3x on this host with ZERO
+    # in-VM steal or competing processes (invisible host contention), so
+    # more reps materially improve the odds of catching a clean one.
+    for _ in range(5):
         t0 = time.perf_counter()
         plan().write.format("noop").mode("overwrite").save()
         best = min(best, time.perf_counter() - t0)
