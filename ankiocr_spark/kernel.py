@@ -200,27 +200,67 @@ _SECT_STD = frozenset({"temp", "cdata", "ignore", "include", "rcdata"})
 _SECT_MS = frozenset({"if", "else", "endif"})
 
 
-def _emit_incomplete(handler: "_BlockParser", s: str, j: int) -> int:
-    """stdlib goahead's end-of-feed fallback for a construct that failed to
-    parse: emit up to the next '>' (inclusive) / next '<' / one char as
-    data (unescaped), and resume from there."""
-    k = s.find(">", j + 1)
-    if k < 0:
-        k = s.find("<", j + 1)
+def _fused_segments(s: str, norm=_normalize) -> List[Tuple[str, str, str]]:
+    """Single-pass tokenize + block-segment of ``s`` — the production hot
+    path. Semantically identical to driving ``_BlockParser`` with the
+    stdlib parser's hook calls (tag names lowercased, attrs never
+    materialized, charrefs unescaped in data, script/style content
+    consumed raw until the matching close tag), but with the handler hooks
+    INLINED into the scan loop: the ~1.2M bound-method calls per 8k pages
+    were ~25% of kernel time. ``_BlockParser`` + the stdlib parser remain
+    as the reference implementation this function is equivalence-tested
+    against (test_properties.py)."""
+    prune_stack: List[str] = []
+    anchor_depth = 0
+    pieces: List[str] = []
+    link_pieces: List[str] = []
+    segment_tag = "body"
+    segments: List[Tuple[str, str, str]] = []
+
+    def flush(tag_for_segment: str) -> None:
+        nonlocal pieces, link_pieces
+        text = norm("".join(pieces))
+        if text:
+            segments.append((tag_for_segment, text, norm("".join(link_pieces))))
+        pieces = []
+        link_pieces = []
+
+    def emit_data(seg: str) -> None:
+        # inlined _BlockParser.handle_data incl. the charref unescape the
+        # tokenizer applied before the hook; pruned text skips BOTH
+        if prune_stack or not seg:
+            return
+        if "&" in seg:
+            seg = _unescape(seg)
+        pieces.append(seg)
+        if anchor_depth:
+            link_pieces.append(seg)
+
+    def emit_incomplete(j: int) -> int:
+        """stdlib goahead's end-of-feed fallback for a construct that
+        failed to parse: emit up to the next '>' (inclusive) / next '<' /
+        one char as data, resume from there."""
+        k = s.find(">", j + 1)
         if k < 0:
-            k = j + 1
-    else:
-        k += 1
-    seg = s[j:k]
-    handler.handle_data(_unescape(seg) if "&" in seg else seg)
-    return k
+            k = s.find("<", j + 1)
+            if k < 0:
+                k = j + 1
+        else:
+            k += 1
+        emit_data(s[j:k])
+        return k
 
+    def end_tag(tag: str) -> None:
+        nonlocal anchor_depth, segment_tag
+        if prune_stack:
+            if tag == prune_stack[-1]:
+                prune_stack.pop()
+        elif tag in BLOCK_TAGS:
+            flush(tag)
+            segment_tag = "body"
+        elif tag == "a" and anchor_depth > 0:
+            anchor_depth -= 1
 
-def _fast_feed(handler: "_BlockParser", s: str) -> None:
-    """Single-pass tokenize of ``s``, invoking the handler's hooks with the
-    same calls the stdlib parser would make (tag names lowercased, attrs
-    never materialized, charrefs unescaped in data, script/style content
-    consumed raw until the matching close tag)."""
     i, n = 0, len(s)
     cdata_close = None
     while i < n:
@@ -228,27 +268,36 @@ def _fast_feed(handler: "_BlockParser", s: str) -> None:
             m = cdata_close.search(s, i)
             if not m:
                 break  # unterminated raw-text element: stdlib drops the rest
-            if m.start() > i:
-                handler.handle_data(s[i:m.start()])
-            # cdata_close is the full `</\s*elem\s*>` (stdlib set_cdata_mode),
-            # so endtagfind necessarily matches the same span here with
-            # exactly the cdata element's name.
-            handler.handle_endtag(_ENDTAG.match(s, m.start()).group(1).lower())
+            if m.start() > i and not prune_stack:
+                # raw cdata data, never unescaped (stdlib skips unescape
+                # in cdata mode) — script/style are PRUNE_TAGS so this only
+                # matters if the blacklist ever changes
+                seg = s[i:m.start()]
+                pieces.append(seg)
+                if anchor_depth:
+                    link_pieces.append(seg)
+            # cdata_close is the full `</\s*elem\s*>` (stdlib
+            # set_cdata_mode), so endtagfind necessarily matches the same
+            # span here with exactly the cdata element's name.
+            end_tag(_ENDTAG.match(s, m.start()).group(1).lower())
             i = m.end()
             cdata_close = None
             continue
         j = s.find("<", i)
         if j < 0:
-            seg = s[i:]
-            handler.handle_data(_unescape(seg) if "&" in seg else seg)
+            emit_data(s[i:])
             break
-        if j > i:
+        if j > i and not prune_stack:  # emit_data inlined: hottest site
             seg = s[i:j]
-            handler.handle_data(_unescape(seg) if "&" in seg else seg)
+            if "&" in seg:
+                seg = _unescape(seg)
+            pieces.append(seg)
+            if anchor_depth:
+                link_pieces.append(seg)
         if j + 1 >= n:
             # lone trailing '<': stdlib breaks, then close() flushes the
             # unprocessed tail as data
-            handler.handle_data("<")
+            emit_data("<")
             break
         c = s[j + 1]
         if ("a" <= c <= "z") or ("A" <= c <= "Z"):
@@ -261,12 +310,29 @@ def _fast_feed(handler: "_BlockParser", s: str) -> None:
             if not (s.startswith(">", end) or s.startswith("/>", end)):
                 end = _STARTTAG_END.match(s, j).end()
             if s.startswith(">", end):
-                handler.handle_starttag(tag, [])
+                # inlined handle_starttag
+                if tag in PRUNE_TAGS:
+                    prune_stack.append(tag)
+                elif not prune_stack:
+                    if tag in BLOCK_TAGS:
+                        flush(segment_tag)
+                        segment_tag = tag
+                    elif tag == "a":
+                        anchor_depth += 1
+                    elif tag == "br":
+                        pieces.append(" ")
                 i = end + 1
                 if tag in _CDATA_CLOSE:
                     cdata_close = _CDATA_CLOSE[tag]
             elif s.startswith("/>", end):
-                handler.handle_startendtag(tag, [])
+                # inlined handle_startendtag (self-closing prune tag has
+                # no subtree, so no prune push; no anchor handling)
+                if tag not in PRUNE_TAGS and not prune_stack:
+                    if tag in BLOCK_TAGS:
+                        flush(segment_tag)
+                        segment_tag = tag
+                    elif tag == "br":
+                        pieces.append(" ")
                 i = end + 2
             else:
                 # malformed start tag (stdlib check_for_whole_start_tag):
@@ -278,31 +344,35 @@ def _fast_feed(handler: "_BlockParser", s: str) -> None:
                 if c2 == "" or c2 in (
                     "abcdefghijklmnopqrstuvwxyz=/ABCDEFGHIJKLMNOPQRSTUVWXYZ"
                 ):
-                    i = _emit_incomplete(handler, s, j)
+                    i = emit_incomplete(j)
                 else:
-                    handler.handle_data(s[j:end])
+                    if not prune_stack:
+                        seg = s[j:end]
+                        pieces.append(seg)
+                        if anchor_depth:
+                            link_pieces.append(seg)
                     i = end
             continue
         if s.startswith("</", j):
             e = _ENDTAG.match(s, j)
             if e:
-                handler.handle_endtag(e.group(1).lower())
+                end_tag(e.group(1).lower())
                 i = e.end()
                 continue
             gt = s.find(">", j + 1)
             if gt < 0:  # incomplete at EOF
-                i = _emit_incomplete(handler, s, j)
+                i = emit_incomplete(j)
                 continue
             nm = _TAGNAME.match(s, j + 2)
             if nm:  # tolerant end tag with junk before '>': '</p attr>'
-                handler.handle_endtag(nm.group(1).lower())
+                end_tag(nm.group(1).lower())
                 i = s.find(">", nm.end()) + 1
             else:  # '</>' or bogus comment '</;...>': skipped (no hook used)
                 i = gt + 1
             continue
         if s.startswith("<!--", j):
             m = _COMMENT_CLOSE.search(s, j + 4)
-            i = _emit_incomplete(handler, s, j) if not m else m.end()
+            i = emit_incomplete(j) if not m else m.end()
             continue
         if s.startswith("<![", j):
             # marked section (stdlib parse_marked_section)
@@ -314,14 +384,17 @@ def _fast_feed(handler: "_BlockParser", s: str) -> None:
                 m = _MARKED_CLOSE_MS.search(s, j + 3)
             else:  # stdlib raises here; degrade to data-skip
                 m = None
-            i = _emit_incomplete(handler, s, j) if not m else m.end()
+            i = emit_incomplete(j) if not m else m.end()
             continue
         if s.startswith("<?", j) or s.startswith("<!", j):
             nxt = s.find(">", j + 2)
-            i = _emit_incomplete(handler, s, j) if nxt < 0 else nxt + 1
+            i = emit_incomplete(j) if nxt < 0 else nxt + 1
             continue
-        handler.handle_data("<")
+        emit_data("<")
         i = j + 1
+
+    flush(segment_tag)
+    return segments
 
 
 def _decode(html) -> str:
@@ -346,16 +419,19 @@ def extract_spans(
     ``preserve_spaces`` is the reference ``preserve_interword_spaces``
     analog (config.json:8): literal space runs inside a block survive.
     """
-    parser = _BlockParser(preserve_spaces=preserve_spaces)
     if _use_fast:
-        _fast_feed(parser, _decode(html))
-        parser._flush(parser._segment_tag)
+        segments = _fused_segments(
+            _decode(html),
+            _normalize_preserve if preserve_spaces else _normalize,
+        )
     else:
+        parser = _BlockParser(preserve_spaces=preserve_spaces)
         parser.feed(_decode(html))
         parser.close()
+        segments = parser.segments
 
     blocks: List[Block] = []
-    for i, (tag, text, link_text) in enumerate(parser.segments):
+    for i, (tag, text, link_text) in enumerate(segments):
         n = len(text)
         density = round(min(1.0, len(link_text) / n), 6) if n else 0.0
         min_chars = MIN_HEADING_CHARS if tag in HEADING_TAGS else MIN_TEXT_CHARS

@@ -57,6 +57,10 @@ _TOKEN = re.compile(
     re.VERBOSE,
 )
 
+#: unique operand-stack marker for '[' — a literal string CONTAINING "["
+#: must never be confused with the array delimiter (caught by hypothesis).
+_ARRAY_MARK = object()
+
 _ESCAPES = {
     ord("n"): b"\n", ord("r"): b"\r", ord("t"): b"\t",
     ord("b"): b"\b", ord("f"): b"\f",
@@ -149,20 +153,22 @@ def _walk_content(stream: bytes, page: int, spans: List[PdfSpan]) -> None:
         if m.lastgroup == "num":
             stack.append(float(m.group("num")))
         elif m.lastgroup == "name":
-            stack.append(m.group("name"))
+            # wrapped so a /Name operand can never be mistaken for a
+            # literal string by Tj/TJ (which check isinstance bytes)
+            stack.append(("name", m.group("name")))
         elif m.lastgroup == "delim":
             d = m.group("delim")
             if d == b"[":
-                stack.append(b"[")
+                stack.append(_ARRAY_MARK)
             elif d == b"]":
                 # collapse array: keep strings, drop kerning numbers
                 parts = []
-                while stack and stack[-1] != b"[":
+                while stack and stack[-1] is not _ARRAY_MARK:
                     v = stack.pop()
                     if isinstance(v, bytes):
                         parts.append(v)
                 if stack:
-                    stack.pop()  # the '['
+                    stack.pop()  # the array marker
                 stack.append(b"".join(reversed(parts)))
         else:
             op = m.group("op")

@@ -36,8 +36,12 @@ AUDIT = [
     "dedup_ngram_jaccard",
     "ann_topk_bruteforce",
     "ann_ivf_topk",
+    "neardup_cosine",
+    "ann_lsh_buckets",
+    "dedup_simhash",
     "token_count",
     "multimodal_frame_sample",
+    "pdf_extract",
 ]
 
 def plan_text(df) -> str:
