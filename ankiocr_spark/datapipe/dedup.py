@@ -196,40 +196,47 @@ MAX_BAND_BUCKET = 10000
 
 
 def minhash_signatures(sh: DataFrame) -> DataFrame:
-    """(doc_id, seed, minhash): min over shingles of a seeded md5 hash.
-    Signature size is constant per doc — the shuffle is O(docs × K)."""
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(MINHASH_K - 1))).alias("seed")
-    hashed = sh.select("doc_id", "shingle", seeds).select(
-        "doc_id",
-        "seed",
-        _md5int(
-            F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("shingle"))
-        ).alias("h"),
-    )
-    return hashed.groupBy("doc_id", "seed").agg(F.min("h").alias("minhash"))
+    """(doc_id, m0..m{K-1}): per-seed min of the seeded md5 hash over the
+    doc's shingles, as ONE groupBy carrying K aggregate expressions — no
+    ``explode(sequence(0, K-1))`` row amplification (same rewrite as the
+    SimHash sketch): all K min-counters ride a single map-side partial
+    aggregation and the shuffle moves O(docs) rows of K columns instead
+    of O(docs × K) rows."""
+    mins = [
+        F.min(
+            _md5int(F.concat(F.lit(f"{s}|"), F.col("shingle")))
+        ).alias(f"m{s}")
+        for s in range(MINHASH_K)
+    ]
+    return sh.groupBy("doc_id").agg(*mins)
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate pairs: docs sharing ≥1 MinHash band. This is the
     dedup scale path — no pairwise join over shingles, only over tiny
-    band keys."""
+    band keys. Band keys are a pure projection over the K signature
+    columns (md5 of the band's minhashes), so the only shuffles left are
+    the signature agg and the bucket agg."""
     docs = _load_docs(spark, sf_dir)
     sig = minhash_signatures(shingles(docs, distinct=False))
-    bands = (
-        sig.withColumn("band", (F.col("seed") / F.lit(LSH_BAND_ROWS)).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
             F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
-                        lambda s: s["minhash"].cast("string"),
-                    ),
+                F.concat_ws(
                     "|",
+                    *[
+                        F.col(f"m{b * LSH_BAND_ROWS + r}").cast("string")
+                        for r in range(LSH_BAND_ROWS)
+                    ],
                 )
-            ).alias("band_key")
+            ).alias("band_key"),
         )
-    )
+        for b in range(MINHASH_K // LSH_BAND_ROWS)
+    ]
+    bands = sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc_id", "bb.band", "bb.band_key")
     # Pair enumeration WITHOUT a self-join: collect each bucket's (sorted)
     # doc list and explode ordered pairs out of it. A self-join re-computes
     # the whole shingle->minhash->band lineage for each side (the physical

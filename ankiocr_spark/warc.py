@@ -1,0 +1,226 @@
+"""WARC source adapter — ingest actual Common-Crawl-format deliveries.
+
+The canonical store is the parquet/Iceberg pages table (sources.py), but
+Common Crawl ships crawl dumps as WARC (ISO 28500): a stream of records,
+each a header block (``WARC/1.0`` + name:value lines, CRLF-terminated,
+blank-line separated) followed by exactly ``Content-Length`` payload
+bytes. ``.warc.gz`` files gzip each record as its OWN member so readers
+can seek; Python's gzip handles the member concatenation transparently.
+
+Reader shape for scale: ``spark.read.format("binaryFile")`` gives one row
+per WARC file (CC files are ~1 GB — well under the 2 GB row limit), and a
+``mapInPandas`` stage parses records and emits canonical pages rows. The
+parallel unit is the file, exactly how CC segment processing distributes;
+the first job in any pipeline is still "land as parquet" (sources.py), so
+the WARC path runs once per delivery.
+
+Only ``WARC-Type: response`` records yield pages; warcinfo / request /
+metadata records are skipped, matching how CC consumers read WET/WARC.
+The HTTP response payload is split at the first CRLFCRLF — headers
+dropped, entity body kept as ``html``.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+from datetime import datetime, timezone
+from typing import Iterator, List, Optional, Tuple
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .sources import PAGES_SCHEMA
+
+WARC_DATE_FMT = "%Y-%m-%dT%H:%M:%SZ"
+
+
+# ---------------------------------------------------------------------------
+# record-level parse (pure, deterministic)
+# ---------------------------------------------------------------------------
+
+def iter_warc_records(data: bytes) -> Iterator[Tuple[dict, bytes]]:
+    """Yield (headers, payload) per record. Headers are lower-cased name →
+    value (str). Framing is by Content-Length, as the spec requires —
+    payloads may contain anything, including 'WARC/1.0'."""
+    i, n = 0, len(data)
+    while i < n:
+        start = data.find(b"WARC/", i)
+        if start < 0:
+            break
+        hdr_end = data.find(b"\r\n\r\n", start)
+        if hdr_end < 0:
+            break
+        headers: dict = {}
+        for line in data[start:hdr_end].split(b"\r\n")[1:]:
+            k, _, v = line.partition(b":")
+            headers[k.strip().lower().decode("latin-1")] = v.strip().decode(
+                "latin-1"
+            )
+        try:
+            clen = int(headers.get("content-length", "0"))
+        except ValueError:
+            clen = 0
+        body_at = hdr_end + 4
+        yield headers, data[body_at:body_at + clen]
+        i = body_at + clen
+
+
+def _http_body(payload: bytes) -> bytes:
+    """Strip the HTTP response header block from a response payload."""
+    if payload[:5] in (b"HTTP/",):
+        split = payload.find(b"\r\n\r\n")
+        if split >= 0:
+            return payload[split + 4:]
+    return payload
+
+
+def parse_warc_pages(data: bytes) -> List[Tuple[str, Optional[datetime], bytes]]:
+    """(url, warc_ts, html) for every response record in one WARC file
+    (gz or plain — multi-member gzip decoded transparently)."""
+    if data[:2] == b"\x1f\x8b":
+        data = gzip.decompress(data)
+    out = []
+    for headers, payload in iter_warc_records(data):
+        if headers.get("warc-type") != "response":
+            continue
+        url = headers.get("warc-target-uri")
+        if not url:
+            continue
+        ts = None
+        raw_ts = headers.get("warc-date")
+        if raw_ts:
+            try:
+                ts = datetime.strptime(raw_ts, WARC_DATE_FMT).replace(
+                    tzinfo=timezone.utc
+                )
+            except ValueError:
+                ts = None
+        out.append((url, ts, _http_body(payload)))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Spark reader
+# ---------------------------------------------------------------------------
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """WARC dump directory → canonical pages DataFrame (PAGES_SCHEMA).
+    One input row per file (binaryFile), records parsed in an Arrow
+    stage; text/lang are null (WARC carries raw fetches only)."""
+    import pandas as pd
+
+    files = spark.read.format("binaryFile").load(path).select("path", "content")
+
+    def parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["url", "warc_ts", "html", "text", "lang"]
+        for pdf in batches:
+            rows = []
+            for content in pdf["content"].tolist():
+                for url, ts, html in parse_warc_pages(bytes(content)):
+                    # tz-naive for Spark's TimestampType (session-local UTC)
+                    rows.append(
+                        (url, ts.replace(tzinfo=None) if ts else None, html,
+                         None, None)
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return files.mapInPandas(parse_batches, PAGES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# builder (fixtures / dump generation — also a usable WARC writer)
+# ---------------------------------------------------------------------------
+
+def build_warc(
+    records: List[Tuple[str, str, bytes]], gzip_members: bool = True
+) -> bytes:
+    """Serialize (url, warc_date, html) records as a valid WARC 1.0 file —
+    response records with an HTTP payload, one gzip member per record when
+    ``gzip_members`` (the .warc.gz convention)."""
+    out = io.BytesIO()
+    for k, (url, date, html) in enumerate(records):
+        http = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=UTF-8\r\n"
+            b"Content-Length: %d\r\n\r\n%s" % (len(html), html)
+        )
+        hdr = (
+            "WARC/1.0\r\n"
+            "WARC-Type: response\r\n"
+            f"WARC-Record-ID: <urn:uuid:00000000-0000-0000-0000-{k:012d}>\r\n"
+            f"WARC-Date: {date}\r\n"
+            f"WARC-Target-URI: {url}\r\n"
+            "Content-Type: application/http; msgtype=response\r\n"
+            f"Content-Length: {len(http)}\r\n\r\n"
+        ).encode("latin-1")
+        rec = hdr + http + b"\r\n\r\n"
+        out.write(gzip.compress(rec, mtime=0) if gzip_members else rec)
+    return out.getvalue()
+
+
+def write_warc_dump(
+    rows: List[Tuple[str, str, bytes]], out_dir: str, n_files: int = 4
+) -> int:
+    """Split rows across ``n_files`` .warc.gz files in ``out_dir``."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    for f in range(n_files):
+        chunk = rows[f::n_files]
+        if not chunk:
+            continue
+        with open(os.path.join(out_dir, f"crawl-{f:03d}.warc.gz"), "wb") as fh:
+            fh.write(build_warc(chunk))
+    return len(rows)
+
+
+# ---------------------------------------------------------------------------
+# driver query: WARC ingest → fused extraction, flagship oracle applies
+# ---------------------------------------------------------------------------
+
+def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end Common-Crawl-shape ingest: documents wrapped as pages
+    are serialized into per-record-gzipped WARC files (fixture-side, no
+    Spark), read back through the distributed binaryFile + mapInPandas
+    WARC parser, and extracted with the fused kernel — so the result must
+    equal the batch flagship closed form on non-null docs."""
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from .config import ExtractConfig
+    from .job import run_extract
+    from .ops import URL_PREFIX, WRAP_PREFIX, WRAP_SUFFIX
+
+    tbl = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pylist()
+    rows = [
+        (
+            URL_PREFIX + str(r["doc_id"]),
+            "2026-01-01T00:00:00Z",
+            (WRAP_PREFIX + r["text"] + WRAP_SUFFIX).encode("utf-8"),
+        )
+        for r in sorted(tbl, key=lambda r: r["doc_id"])
+        if r["text"] is not None
+    ]
+    base = tempfile.mkdtemp(prefix="warc_q_")
+    write_warc_dump(rows, base)
+    pages = read_warc(spark, base)
+    out = run_extract(spark, pages, ExtractConfig(salt_buckets=8))
+    return out.select("url", "extracted_text")
+
+
+def _oracle_warc_extract() -> str:
+    from .ops import H1_TEXT, URL_PREFIX
+
+    return f"""
+SELECT '{URL_PREFIX}' || doc_id AS url,
+       CASE WHEN length(trim(text)) >= 25
+            THEN '{H1_TEXT}' || chr(10) || trim(text)
+            ELSE '{H1_TEXT}' END AS extracted_text
+FROM documents WHERE text IS NOT NULL
+"""
+
+
+QUERIES = {"warc_extract": q_warc_extract}
+ORACLE_SQL = {"warc_extract": _oracle_warc_extract()}

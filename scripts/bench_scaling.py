@@ -54,8 +54,11 @@ SKEWED_DOCS = 200_000
 SHARD_ROWS = 25_000
 SALT_BUCKETS = 128
 SHUFFLE_PARTS = 128
-REPS = 3
-SKEW_REPS = 2
+# best-of-5: measured rep-to-rep swings reach 2-3x on this host with zero
+# in-VM steal or competing processes (invisible host contention); the
+# full-box 32-core runs are hit hardest, so 3 reps under-read them.
+REPS = 5
+SKEW_REPS = 3
 
 
 # --------------------------------------------------------------------------
@@ -216,16 +219,26 @@ def main() -> None:
     ensure_dataset(UNIFORM_DIR, UNIFORM_DOCS, skewed=False)
     ensure_dataset(SKEWED_DIR, SKEWED_DOCS, skewed=True)
 
-    print("pure-kernel ceiling (no Spark, warmed process pool, taskset):",
-          file=sys.stderr)
-    c8 = pure_ceiling(8)
-    c32 = pure_ceiling(32)
-    ceiling_eff = c32["docs_per_sec"] / (4 * c8["docs_per_sec"])
+    # Host noise is ONE-SIDED (invisible contention only ever slows a rep;
+    # quiet-window reps agree tightly), so capability = best rep. But a
+    # single pass measures each configuration in ONE time window — if the
+    # ceiling lands in a quiet window and the Spark run in a noisy one,
+    # their RATIO is biased. Sample every capability in ROUNDS separate
+    # windows, round-robin, and take each one's best across rounds.
+    ROUNDS = 2
 
-    print("Spark scaling (uniform input, identical binary+configs, taskset):",
-          file=sys.stderr)
-    r8 = spawn(8, UNIFORM_DIR, "default")
-    r32 = spawn(32, UNIFORM_DIR, "default")
+    def _best(a, b):
+        return b if a is None or b["docs_per_sec"] > a["docs_per_sec"] else a
+
+    c8 = c32 = r8 = r32 = None
+    for rd in range(ROUNDS):
+        print(f"round {rd + 1}/{ROUNDS} — ceiling then Spark, both widths:",
+              file=sys.stderr)
+        c8 = _best(c8, pure_ceiling(8))
+        c32 = _best(c32, pure_ceiling(32))
+        r8 = _best(r8, spawn(8, UNIFORM_DIR, "default"))
+        r32 = _best(r32, spawn(32, UNIFORM_DIR, "default"))
+    ceiling_eff = c32["docs_per_sec"] / (4 * c8["docs_per_sec"])
     raw_eff = r32["docs_per_sec"] / (4 * r8["docs_per_sec"])
     transfer_eff = raw_eff / ceiling_eff
 
@@ -267,7 +280,11 @@ def main() -> None:
                 "transferable number divides out the measured ceiling. "
                 "Clock-boost effects at 8 active cores cancel in the "
                 "ratio. All runs taskset-confined; fresh JVM per config; "
-                "best of reps after a warm-up pass."),
+                "best of reps after a warm-up pass. Host noise is "
+                "one-sided (contention only slows reps), so each of the "
+                "four capabilities is sampled in 2 round-robin time "
+                "windows and takes its best — a single-window ratio can "
+                "be biased when one side lands in a noisy window."),
         },
         "skew_ablation": {
             "layout": ("200k docs; every 10th page of shard 0 jumbo, shard "

@@ -177,3 +177,32 @@ def test_lang_filter_pushdown(spark, pages_goldens):
     out = run_extract(spark, pages, ExtractConfig(lang_filter=["eng"], salt_buckets=4))
     n_eng = pages.where(F.col("lang") == "eng").count()
     assert out.count() == n_eng
+
+
+def test_extract_plan_prunes_and_pushes(spark, tmp_path, pages_goldens):
+    """Physical-plan contract of the hot path (SURVEY §4): the parquet scan
+    must read ONLY (url, html) — the binary payload plus key, nothing else —
+    and the lang filter must reach the scan as a pushed filter."""
+    pages, _ = pages_goldens
+    in_dir = str(tmp_path / "pages_plan")
+    pages.write.parquet(in_dir)
+    src = spark.read.parquet(in_dir)
+    plan = (
+        run_extract(spark, src, ExtractConfig(lang_filter=["eng"], salt_buckets=4))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    import re
+
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    read_cols = sorted(c.split(":")[0] for c in m.group(1).split(",") if c)
+    assert read_cols == ["html", "lang", "url"], read_cols  # no text, no warc_ts
+    assert "PushedFilters: [" in plan and "lang" in plan.split("PushedFilters:")[1].split("]")[0]
+    # and no filter → full scan reads exactly (url, html)
+    plan2 = (
+        run_extract(spark, src, ExtractConfig(salt_buckets=4))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    m2 = re.search(r"ReadSchema: struct<([^>]*)>", plan2)
+    cols2 = sorted(c.split(":")[0] for c in m2.group(1).split(",") if c)
+    assert cols2 == ["html", "url"], cols2

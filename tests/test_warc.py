@@ -1,0 +1,91 @@
+"""WARC adapter: record framing by Content-Length, gzip-member decode,
+record-type filtering, HTTP header strip, and the Spark binaryFile →
+mapInPandas ingest round trip."""
+
+import gzip
+
+from pyspark.sql import functions as F
+
+from ankiocr_spark.warc import (
+    build_warc,
+    iter_warc_records,
+    parse_warc_pages,
+    read_warc,
+    write_warc_dump,
+)
+
+
+def _mk(url, html=b"<p>hello</p>"):
+    return (url, "2026-01-01T00:00:00Z", html)
+
+
+def test_round_trip_plain_and_gz():
+    recs = [_mk("https://a/1"), _mk("https://a/2", b"<p>two</p>")]
+    for gz in (False, True):
+        data = build_warc(recs, gzip_members=gz)
+        pages = parse_warc_pages(data)
+        assert [(u, h) for u, _, h in pages] == [
+            ("https://a/1", b"<p>hello</p>"),
+            ("https://a/2", b"<p>two</p>"),
+        ]
+        assert all(ts is not None for _, ts, _ in pages)
+
+
+def test_payload_containing_warc_magic_is_framed_correctly():
+    """Content-Length framing: a body containing 'WARC/1.0' must not be
+    mistaken for a record boundary."""
+    tricky = b"<p>literal WARC/1.0\r\n\r\nmarker inside body</p>"
+    data = build_warc([_mk("https://a/x", tricky), _mk("https://a/y")],
+                      gzip_members=False)
+    pages = parse_warc_pages(data)
+    assert [u for u, _, _ in pages] == ["https://a/x", "https://a/y"]
+    assert pages[0][2] == tricky
+
+
+def test_non_response_records_skipped():
+    data = build_warc([_mk("https://a/1")], gzip_members=False)
+    info = (
+        b"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 4\r\n\r\nabcd\r\n\r\n"
+    )
+    req = (
+        b"WARC/1.0\r\nWARC-Type: request\r\n"
+        b"WARC-Target-URI: https://a/1\r\nContent-Length: 0\r\n\r\n\r\n\r\n"
+    )
+    pages = parse_warc_pages(info + req + data)
+    assert len(pages) == 1 and pages[0][0] == "https://a/1"
+    # but the raw record iterator sees all three
+    assert len(list(iter_warc_records(info + req + data))) == 3
+
+
+def test_http_headers_stripped():
+    pages = parse_warc_pages(build_warc([_mk("https://a/1")], gzip_members=False))
+    assert pages[0][2] == b"<p>hello</p>"  # no HTTP/1.1 prefix
+
+
+def test_multi_member_gzip():
+    recs = [_mk(f"https://a/{i}") for i in range(5)]
+    data = build_warc(recs, gzip_members=True)
+    # must be several independent members, not one stream
+    assert data.count(b"\x1f\x8b\x08") >= 5
+    assert len(parse_warc_pages(data)) == 5
+    # single-stream gzip of the plain form also decodes
+    single = gzip.compress(build_warc(recs, gzip_members=False))
+    assert len(parse_warc_pages(single)) == 5
+
+
+def test_spark_ingest_round_trip(spark, tmp_path):
+    rows = [
+        (f"https://w/{i}", "2026-01-01T00:00:00Z",
+         f"<p>page {i} body long enough to keep for the block floor</p>".encode())
+        for i in range(40)
+    ]
+    out_dir = str(tmp_path / "warcs")
+    write_warc_dump(rows, out_dir, n_files=4)
+    df = read_warc(spark, out_dir)
+    got = {r["url"]: r["html"] for r in df.collect()}
+    assert len(got) == 40
+    assert bytes(got["https://w/7"]) == rows[7][2]
+    assert df.where(F.col("warc_ts").isNull()).count() == 0
+    assert df.schema.simpleString().startswith(
+        "struct<url:string,warc_ts:timestamp,html:binary"
+    )
