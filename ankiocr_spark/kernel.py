@@ -397,12 +397,43 @@ def _fused_segments(s: str, norm=_normalize) -> List[Tuple[str, str, str]]:
     return segments
 
 
+# charset sniffing (real crawl payloads are ~15-20% non-UTF-8): BOM first,
+# then an ASCII-compatible `<meta charset=...>` / http-equiv content-type
+# scan of the head (the HTML5 prescan), else UTF-8. Deterministic — pure
+# byte inspection, no chardet-style statistics.
+_META_CHARSET = re.compile(
+    rb"""<meta[^>]{0,200}?charset\s*=\s*["']?\s*([A-Za-z0-9_\-]{2,32})""",
+    re.IGNORECASE,
+)
+_SNIFF_BYTES = 2048
+
+
+def detect_encoding(raw: bytes) -> str:
+    if raw[:3] == b"\xef\xbb\xbf":
+        return "utf-8-sig"
+    if raw[:2] == b"\xff\xfe":
+        return "utf-16-le"
+    if raw[:2] == b"\xfe\xff":
+        return "utf-16-be"
+    m = _META_CHARSET.search(raw[:_SNIFF_BYTES])
+    if m:
+        label = m.group(1).decode("ascii").lower()
+        import codecs
+
+        try:
+            codecs.lookup(label)
+            return label
+        except LookupError:
+            pass  # unknown label → UTF-8 fallback, never an error row
+    return "utf-8"
+
+
 def _decode(html) -> str:
     if isinstance(html, (bytes, bytearray, memoryview)):
         raw = bytes(html)
         if len(raw) > MAX_HTML_BYTES:
             raw = raw[:MAX_HTML_BYTES]
-        return raw.decode("utf-8", errors="replace")
+        return raw.decode(detect_encoding(raw), errors="replace")
     return str(html)
 
 

@@ -42,6 +42,10 @@ AUDIT = [
     "token_count",
     "multimodal_frame_sample",
     "pdf_extract",
+    "sessionize",
+    "rollup_report",
+    "stratified_sample",
+    "topk_per_group",
 ]
 
 def plan_text(df) -> str:

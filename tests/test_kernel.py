@@ -108,3 +108,37 @@ def test_preserve_interword_spaces_mode():
     assert extract_main_text(html, preserve_spaces=True) == preserved
     rec = extract_record("u", html, preserve_spaces=True)
     assert rec["extracted_text"] == preserved
+
+
+def test_charset_sniffing():
+    """BOM and meta-charset detection (HTML5 prescan subset): non-UTF-8
+    crawl payloads must decode by their declared charset, unknown labels
+    fall back to UTF-8, and pure-ASCII/UTF-8 behavior is unchanged."""
+    from ankiocr_spark.kernel import detect_encoding
+
+    body = "<p>café résumé long enough paragraph to keep here ok</p>"
+    # latin-1 with a meta declaration
+    l1 = ('<html><head><meta charset="iso-8859-1"></head><body>'
+          + body + "</body></html>").encode("latin-1")
+    assert detect_encoding(l1) == "iso-8859-1"
+    assert "café résumé" in extract_main_text(l1)
+    # windows-1252 via http-equiv
+    w = ('<meta http-equiv="Content-Type" content="text/html; '
+         'charset=windows-1252">' + body).encode("cp1252")
+    assert detect_encoding(w) == "windows-1252"
+    assert "café résumé" in extract_main_text(w)
+    # UTF-16 BOMs
+    for enc, codec in (("utf-16-le", "utf-16-le"), ("utf-16-be", "utf-16-be")):
+        bom = b"\xff\xfe" if enc == "utf-16-le" else b"\xfe\xff"
+        payload = bom + body.encode(codec)
+        assert detect_encoding(payload) == enc
+        assert "café résumé" in extract_main_text(payload)
+    # UTF-8 BOM stripped (utf-8-sig), not emitted as U+FEFF text
+    assert extract_main_text(b"\xef\xbb\xbf" + body.encode()) == \
+        extract_main_text(body.encode())
+    # unknown label -> utf-8 fallback, no error
+    junk = b'<meta charset="no-such-charset-xyz">' + body.encode()
+    assert detect_encoding(junk) == "utf-8"
+    assert "caf" in extract_main_text(junk)
+    # undeclared stays utf-8 (existing behavior unchanged)
+    assert detect_encoding(body.encode()) == "utf-8"
