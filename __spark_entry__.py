@@ -19,7 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from ankiocr_spark import ops, pdftext, streaming, warc  # noqa: E402
 from ankiocr_spark.datapipe import (  # noqa: E402
-    analytics, dedup, multimodal, similarity, textstats,
+    analytics, dedup, multimodal, relational, similarity, textstats,
 )
 from ankiocr_spark.session import ensure_workers_can_import  # noqa: E402
 
@@ -34,7 +34,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for mod in (ops, pdftext, warc, streaming, dedup, similarity, textstats,
-                multimodal, analytics):
+                multimodal, analytics, relational):
         for name, fn in mod.QUERIES.items():
             def wrapped(spark, sf_dir, _fn=fn):
                 ensure_workers_can_import(spark)
@@ -46,6 +46,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     for mod in (ops, pdftext, warc, streaming, dedup, similarity, textstats,
-                multimodal, analytics):
+                multimodal, analytics, relational):
         out.update(mod.ORACLE_SQL)
     return out

@@ -46,6 +46,9 @@ AUDIT = [
     "rollup_report",
     "stratified_sample",
     "topk_per_group",
+    "pricing_summary",
+    "regional_revenue",
+    "json_props_histogram",
 ]
 
 def plan_text(df) -> str:
