@@ -29,6 +29,11 @@ def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--input", required=True, help="pages parquet dir")
     ap.add_argument("--output", required=True, help="extracts parquet dir")
+    ap.add_argument("--source-format", default="parquet",
+                    choices=["parquet", "json", "csv", "warc"],
+                    help="non-parquet deliveries are landed as canonical "
+                         "pages parquet first (sources.py / warc.py), then "
+                         "extracted")
     ap.add_argument("--mode", default="text_column",
                     choices=["text_column", "spans"])
     ap.add_argument("--salt-buckets", type=int, default=32)
@@ -60,11 +65,24 @@ def main() -> None:
     )
     spark = get_spark("extract_job", master=args.master)
     t0 = time.perf_counter()
+    input_path = args.input
+    if args.source_format != "parquet":
+        staged = args.output.rstrip("/") + "_staged_pages"
+        if args.source_format == "warc":
+            from ankiocr_spark.warc import read_warc
+
+            read_warc(spark, args.input).write.mode("overwrite").parquet(staged)
+        else:
+            from ankiocr_spark.sources import to_pages_parquet
+
+            to_pages_parquet(spark, args.input, args.source_format, staged)
+        print(f"staged {args.source_format} delivery -> {staged}")
+        input_path = staged
     if args.checkpoint_dir:
-        summary = resumable_extract(spark, args.input, args.output, cfg)
+        summary = resumable_extract(spark, input_path, args.output, cfg)
         print(f"resumable_extract: {summary}")
     else:
-        extract_job(spark, args.input, args.output, cfg)
+        extract_job(spark, input_path, args.output, cfg)
     n = spark.read.parquet(args.output).count()
     dt = time.perf_counter() - t0
     print(f"done: {n} rows -> {args.output} in {dt:.1f}s "
