@@ -1,0 +1,59 @@
+"""Outlink extraction: href collection in document order, RFC 3986
+relative resolution, invalid-href skipping, and byte-payload decode."""
+
+from ankiocr_spark.links import extract_links, extract_outlinks
+
+
+def test_resolution_and_order():
+    html = (
+        b'<html><body>'
+        b'<a href="/abs">a</a>'
+        b'<a href="rel/page.html">r</a>'
+        b'<a href="https://other.net/x">o</a>'
+        b'<a href="../up">u</a>'
+        b'</body></html>'
+    )
+    links = extract_links("https://example.org/dir/sub/page.html", html)
+    assert [(p, t) for p, _, t in links] == [
+        (0, "https://example.org/abs"),
+        (1, "https://example.org/dir/sub/rel/page.html"),
+        (2, "https://other.net/x"),
+        (3, "https://example.org/dir/up"),
+    ]
+
+
+def test_invalid_hrefs_skipped():
+    html = (
+        b'<a>no href</a><a href="">empty</a><a href="#frag">frag</a>'
+        b'<a href="/ok">ok</a><a name="x" href="/two">two attrs</a>'
+    )
+    links = extract_links("https://e.org/", html)
+    assert [h for _, h, _ in links] == ["/ok", "/two"]
+
+
+def test_entity_in_href_unescaped():
+    html = b'<a href="/q?a=1&amp;b=2">x</a>'
+    (_, href, target) = extract_links("https://e.org/", html)[0]
+    assert href == "/q?a=1&b=2"
+    assert target == "https://e.org/q?a=1&b=2"
+
+
+def test_links_inside_pruned_regions_still_counted():
+    """Link extraction is a crawl-frontier concern, not a main-content one:
+    nav/footer links ARE outlinks even though the kernel prunes their text."""
+    html = b'<nav><a href="/nav">n</a></nav><footer><a href="/f">f</a></footer>'
+    assert [h for _, h, _ in extract_links("https://e.org/", html)] == ["/nav", "/f"]
+
+
+def test_spark_outlinks(spark):
+    pages = spark.createDataFrame(
+        [("https://h/a", b'<a href="/x">x</a><a href="y">y</a>'),
+         ("https://h/b", None)],
+        "url string, html binary",
+    )
+    rows = extract_outlinks(pages).collect()
+    got = sorted((r["url"], r["pos"], r["target"]) for r in rows)
+    assert got == [
+        ("https://h/a", 0, "https://h/x"),
+        ("https://h/a", 1, "https://h/y"),
+    ]
