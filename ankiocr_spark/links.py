@@ -100,5 +100,95 @@ FROM d, links
 """
 
 
-QUERIES = {"outlinks": q_outlinks}
-ORACLE_SQL = {"outlinks": _oracle_outlinks()}
+# ---------------------------------------------------------------------------
+# PageRank — the iterative-algorithm pattern over the link graph
+# ---------------------------------------------------------------------------
+
+PR_ITERS = 3
+PR_DAMPING = 0.85
+
+
+def pagerank(edges: DataFrame, nodes: DataFrame, iters: int = PR_ITERS) -> DataFrame:
+    """Power-iteration PageRank (damping 0.85) over (src, dst) edges; every
+    src here has outdegree 2, so contribution = rank/2. The iterative
+    DataFrame loop is the canonical Spark shape: each iteration is one
+    equi-join on src + one groupBy on dst; at 10^12 edges both shuffle on
+    the same key, so a pre-bucketed edge table makes iterations
+    exchange-free on the edge side (bucketing.py)."""
+    from pyspark.sql import functions as F  # local alias for clarity
+
+    n = nodes.count()
+    ranks = nodes.select(F.col("node"), F.lit(1.0 / n).alias("rank"))
+    for _ in range(iters):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.node)
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / 2).alias("c"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit(0.15 / n)
+                    + F.lit(PR_DAMPING) * F.coalesce("c", F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+    return ranks
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over a deterministic synthetic doc graph (every doc links
+    to (id²+1) mod n and (3·id+7) mod n — ids are contiguous 0..n-1, so
+    all targets exist and outdegree is uniformly 2; the quadratic edge
+    makes in-degrees genuinely skewed). Fixed 3 iterations, so the DuckDB
+    oracle is the SAME computation unrolled — the driver's 'iterative
+    algorithms are rows-only' escape hatch is not needed."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    edges = nodes.select(
+        F.col("node").alias("src"),
+        F.explode(
+            F.array(
+                (F.col("node") * F.col("node") + 1) % n,
+                (F.col("node") * 3 + 7) % n,
+            )
+        ).alias("dst"),
+    )
+    return pagerank(edges, nodes).select(
+        "node", F.round("rank", 8).alias("pagerank")
+    )
+
+
+def _oracle_pagerank() -> str:
+    step = """
+r{K} AS (
+  SELECT nd.node,
+         0.15 / (SELECT n FROM cnt)
+         + {D} * coalesce(s.c, 0) AS rank
+  FROM nodes nd LEFT JOIN (
+    SELECT e.dst AS node, sum(r.rank / 2) AS c
+    FROM e JOIN r{P} r ON e.src = r.node GROUP BY e.dst) s
+  USING (node))"""
+    iters = ",".join(
+        step.format(K=k + 1, P=k, D=PR_DAMPING) for k in range(PR_ITERS)
+    )
+    return f"""
+WITH nodes AS (SELECT doc_id AS node FROM documents),
+cnt AS (SELECT count(*) AS n FROM nodes),
+e AS (
+  SELECT node AS src, (node * node + 1) % (SELECT n FROM cnt) AS dst FROM nodes
+  UNION ALL
+  SELECT node, (node * 3 + 7) % (SELECT n FROM cnt) FROM nodes),
+r0 AS (SELECT node, 1.0 / (SELECT n FROM cnt) AS rank FROM nodes),
+{iters}
+SELECT node, round(rank, 8) AS pagerank FROM r{PR_ITERS}
+"""
+
+
+QUERIES = {"outlinks": q_outlinks, "pagerank": q_pagerank}
+ORACLE_SQL = {"outlinks": _oracle_outlinks(), "pagerank": _oracle_pagerank()}

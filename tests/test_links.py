@@ -57,3 +57,18 @@ def test_spark_outlinks(spark):
         ("https://h/a", 0, "https://h/x"),
         ("https://h/a", 1, "https://h/y"),
     ]
+
+
+def test_pagerank_invariants(spark, sf_dir):
+    """Power-iteration invariants: mass conservation (no dangling nodes —
+    every node has outdegree 2, so total rank stays 1) and the teleport
+    floor 0.15/n."""
+    from ankiocr_spark.links import q_pagerank
+
+    rows = q_pagerank(spark, sf_dir).collect()
+    n = len(rows)
+    total = sum(r["pagerank"] for r in rows)
+    assert abs(total - 1.0) < 1e-6
+    assert all(r["pagerank"] >= 0.15 / n - 1e-12 for r in rows)
+    # the graph is non-uniform: ranks must actually differ
+    assert len({r["pagerank"] for r in rows}) > 10
