@@ -154,6 +154,7 @@ def start_stream_host_stats(
     checkpoint_dir: str,
     window: str = "1 day",
     watermark: str = "1 hour",
+    max_files_per_trigger: Optional[int] = None,
 ) -> StreamingQuery:
     """Stateful streaming analytics over the ingest: per-host tumbling-
     window page counts with a watermark for late-arriving crawl records.
@@ -164,7 +165,7 @@ def start_stream_host_stats(
     than reopening finalized windows, so state stays bounded — at 10^12
     docs the state store holds only (hosts x open windows), not history.
     Append mode emits a window only once it is closed by the watermark."""
-    pages = stream_pages(spark, input_dir)
+    pages = stream_pages(spark, input_dir, max_files_per_trigger)
     host = F.regexp_extract("url", r"^[a-z]+://([^/]+)/", 1).alias("host")
     agg = (
         pages.select(host, "warc_ts")
@@ -297,5 +298,106 @@ def q_stream_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"stream_extract": q_stream_extract}
-ORACLE_SQL = {"stream_extract": ORACLE_FLAGSHIP}
+def q_stream_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window aggregation with a FULL value oracle.
+
+    Append-mode emission under availableNow ends with a no-data
+    micro-batch (``spark.sql.streaming.noDataMicroBatches``, default on)
+    that advances the watermark to global max(ts) − delay and flushes
+    every window it closes — so the FINAL emitted set is batch-order
+    independent: exactly the windows whose end ≤ that watermark, with the
+    newest partial window withheld. The oracle computes that set in
+    closed form, so late-window withholding is VALUE-checked, not just
+    pytest-asserted. The dump is still written as 4 event-time-ordered
+    files drained one per trigger, exercising genuine incremental
+    batches."""
+    import datetime
+    import os
+    import tempfile
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = tempfile.mkdtemp(prefix="stream_w_")
+    in_dir = os.path.join(base, "in")
+    os.makedirs(in_dir)
+    ids = sorted(
+        r["doc_id"]
+        for r in pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["doc_id"]
+        ).to_pylist()
+    )
+    n = len(ids)
+    t0 = datetime.datetime(2024, 1, 1)
+    schema = pa.schema([
+        ("url", pa.string()),
+        ("warc_ts", pa.timestamp("us")),
+        ("html", pa.binary()),
+        ("text", pa.string()),
+        ("lang", pa.string()),
+    ])
+    mt0 = _time.time() - 1000
+    for q in range(4):
+        chunk = ids[q * n // 4:(q + 1) * n // 4]
+        table = pa.table(
+            {
+                "url": pa.array(
+                    [f"https://h{i % 7}.example.org/doc/{i}" for i in chunk],
+                    type=pa.string(),
+                ),
+                "warc_ts": pa.array(
+                    [t0 + datetime.timedelta(minutes=int(i)) for i in chunk],
+                    type=pa.timestamp("us"),
+                ),
+                "html": pa.array([None] * len(chunk), type=pa.binary()),
+                "text": pa.array([None] * len(chunk), type=pa.string()),
+                "lang": pa.array([None] * len(chunk), type=pa.string()),
+            },
+            schema=schema,
+        )
+        path = os.path.join(in_dir, f"crawl-{q}.parquet")
+        pq.write_table(table, path)
+        os.utime(path, (mt0 + q * 10, mt0 + q * 10))
+    q_handle = start_stream_host_stats(
+        spark,
+        in_dir,
+        os.path.join(base, "out"),
+        os.path.join(base, "ckpt"),
+        window="1 hour",
+        watermark="10 minutes",
+        max_files_per_trigger=1,
+    )
+    if not q_handle.awaitTermination(300):
+        q_handle.stop()
+        raise TimeoutError("window-stats stream did not drain")
+    return spark.read.parquet(os.path.join(base, "out")).select(
+        "window_start", "host", "n_pages"
+    )
+
+
+ORACLE_STREAM_WINDOW = """
+WITH d AS (SELECT doc_id FROM documents),
+p AS (
+  SELECT doc_id,
+         TIMESTAMP '2024-01-01 00:00:00' + doc_id * INTERVAL 1 MINUTE AS ts,
+         'h' || (doc_id % 7) || '.example.org' AS host
+  FROM d),
+wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM p),
+agg AS (
+  SELECT date_trunc('hour', ts) AS window_start, host, count(*) AS n_pages
+  FROM p GROUP BY 1, 2)
+SELECT window_start, host, n_pages
+FROM agg, wm
+WHERE window_start + INTERVAL 1 HOUR <= wm.w
+"""
+
+
+QUERIES = {
+    "stream_extract": q_stream_extract,
+    "stream_window_stats": q_stream_window_stats,
+}
+ORACLE_SQL = {
+    "stream_extract": ORACLE_FLAGSHIP,
+    "stream_window_stats": ORACLE_STREAM_WINDOW,
+}
