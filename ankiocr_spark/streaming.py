@@ -393,11 +393,52 @@ WHERE window_start + INTERVAL 1 HOUR <= wm.w
 """
 
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming url-dedup (``dropDuplicatesWithinWatermark``) with a FULL
+    value oracle: the input is the wrapped pages dump written TWICE (an
+    overlapping re-crawl, both copies inside the dedup horizon). The
+    re-crawl carries identical content per url, so whichever copy wins
+    the dedup race, the output is exactly one flagship-extract row per
+    url — the closed form is ORACLE_FLAGSHIP verbatim, and the kernel
+    provably ran once per url (row count), which is the operator's whole
+    point: never pay extraction twice for a re-crawled page."""
+    import os
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="stream_d_")
+    input_dir = os.path.join(base, "in")
+    pages = docs_as_pages(spark, sf_dir)
+    for crawl, ts in (("a", "2026-01-01 00:00:00"), ("b", "2026-01-01 06:00:00")):
+        (
+            pages.withColumn("warc_ts", F.to_timestamp(F.lit(ts)))
+            .write.mode("append")
+            .parquet(input_dir)
+        )
+    q = start_stream_extract_dedup(
+        spark,
+        input_dir,
+        os.path.join(base, "out"),
+        os.path.join(base, "ckpt"),
+        ExtractConfig(salt_buckets=8, batch_rows=64),
+        dedup_horizon="2 days",
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("dedup stream did not drain")
+    return (
+        spark.read.parquet(os.path.join(base, "out"))
+        .select("url", "extracted_text")
+        .orderBy("url")
+    )
+
+
 QUERIES = {
     "stream_extract": q_stream_extract,
     "stream_window_stats": q_stream_window_stats,
+    "stream_dedup": q_stream_dedup,
 }
 ORACLE_SQL = {
     "stream_extract": ORACLE_FLAGSHIP,
     "stream_window_stats": ORACLE_STREAM_WINDOW,
+    "stream_dedup": ORACLE_FLAGSHIP,
 }
