@@ -149,7 +149,10 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n = docs.count()
-    nodes = docs.select(F.col("doc_id").alias("node"))
+    # cache the loop-invariant relations: without this every iteration
+    # re-derives nodes/edges from the source scan (the plan showed 7
+    # FileScans for 3 iterations) — the canonical iterative-job pattern
+    nodes = docs.select(F.col("doc_id").alias("node")).cache()
     edges = nodes.select(
         F.col("node").alias("src"),
         F.explode(
@@ -158,7 +161,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("node") * 3 + 7) % n,
             )
         ).alias("dst"),
-    )
+    ).cache()
     return pagerank(edges, nodes).select(
         "node", F.round("rank", 8).alias("pagerank")
     )

@@ -49,6 +49,8 @@ AUDIT = [
     "pricing_summary",
     "regional_revenue",
     "json_props_histogram",
+    "outlinks",
+    "pagerank",
 ]
 
 def plan_text(df) -> str:
