@@ -106,7 +106,15 @@ def parse_warc_pages(data: bytes) -> List[Tuple[str, Optional[datetime], bytes]]
 def read_warc(spark: SparkSession, path: str) -> DataFrame:
     """WARC dump directory → canonical pages DataFrame (PAGES_SCHEMA).
     One input row per file (binaryFile), records parsed in an Arrow
-    stage; text/lang are null (WARC carries raw fetches only)."""
+    stage; text/lang are null (WARC carries raw fetches only).
+
+    Corrupt files (truncated gzip member, garbage bytes) are QUARANTINED,
+    not fatal: at crawl scale one bad delivery file must never kill the
+    ingest job. A quarantined file yields a single marker row —
+    ``url = 'warc:error:<file path>'``, the message in ``text``, ``html``
+    null — so downstream jobs can count/inspect failures with a cheap
+    url-prefix filter while the extract kernel's null-html quarantine
+    drops them from content output."""
     import pandas as pd
 
     files = spark.read.format("binaryFile").load(path).select("path", "content")
@@ -115,8 +123,16 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
         cols = ["url", "warc_ts", "html", "text", "lang"]
         for pdf in batches:
             rows = []
-            for content in pdf["content"].tolist():
-                for url, ts, html in parse_warc_pages(bytes(content)):
+            for fpath, content in zip(pdf["path"].tolist(), pdf["content"].tolist()):
+                try:
+                    pages = parse_warc_pages(bytes(content))
+                except Exception as exc:
+                    rows.append(
+                        (f"warc:error:{fpath}", None, None,
+                         f"{type(exc).__name__}: {exc}"[:200], None)
+                    )
+                    continue
+                for url, ts, html in pages:
                     # tz-naive for Spark's TimestampType (session-local UTC)
                     rows.append(
                         (url, ts.replace(tzinfo=None) if ts else None, html,

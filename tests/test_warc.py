@@ -89,3 +89,23 @@ def test_spark_ingest_round_trip(spark, tmp_path):
     assert df.schema.simpleString().startswith(
         "struct<url:string,warc_ts:timestamp,html:binary"
     )
+
+
+def test_corrupt_file_quarantined_not_fatal(spark, tmp_path):
+    """A truncated gzip member in one delivery file must not kill the
+    ingest: the file yields one error-marker row; healthy files parse."""
+    out_dir = str(tmp_path / "warcs_bad")
+    write_warc_dump(
+        [_mk(f"https://ok/{i}") for i in range(10)], out_dir, n_files=2
+    )
+    good = build_warc([_mk("https://ok/extra")])
+    with open(f"{out_dir}/crawl-bad.warc.gz", "wb") as fh:
+        fh.write(good[: len(good) // 2])  # truncated mid-member
+    df = read_warc(spark, out_dir)
+    rows = df.collect()
+    errors = [r for r in rows if r["url"].startswith("warc:error:")]
+    pages = [r for r in rows if not r["url"].startswith("warc:error:")]
+    assert len(errors) == 1
+    assert "crawl-bad" in errors[0]["url"] and errors[0]["html"] is None
+    assert errors[0]["text"]  # the error message rides the text column
+    assert len(pages) == 10
