@@ -94,11 +94,18 @@ class _BucketStatsParam(AccumulatorParam):
         return a
 
 
-def _extract_batches_with_stats(acc):
+def _extract_batches_with_stats(acc, preserve_spaces: bool = False):
     """Fused kernel stage (same contract as job._extract_batches) that also
     folds per-bucket stats into ``acc`` while the rows stream through — the
     stats ride the one-and-only input scan. The bucket column is computed
-    JVM-side once and passed through, so the output needs no re-hash."""
+    JVM-side once and passed through, so the output needs no re-hash.
+
+    Metrics caveat: Spark's exactly-once accumulator guarantee covers
+    ACTIONS only; with ``spark.speculation`` on (or recompute after executor
+    loss) a transformation-side accumulator can double-count. The data
+    itself is safe (the write is idempotent per bucket) — only the ledger
+    counters inflate. ``resumable_extract`` asserts speculation is off.
+    """
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .kernel import extract_record
@@ -109,7 +116,7 @@ def _extract_batches_with_stats(acc):
             for url, html, bucket in zip(
                 pdf["url"].tolist(), pdf["html"].tolist(), pdf["bucket"].tolist()
             ):
-                r = extract_record(url, html)
+                r = extract_record(url, html, preserve_spaces=preserve_spaces)
                 r["bucket"] = int(bucket)
                 recs.append(r)
                 n_bytes = len(html) if html is not None else 0
@@ -146,6 +153,18 @@ def resumable_extract(
         raise ValueError(
             "resumable_extract supports output_mode='text' only — the ledger "
             "counts rows/empties over per-page records, not span rows"
+        )
+    if cfg.extra_passthrough_cols:
+        raise ValueError(
+            "resumable_extract does not support extra_passthrough_cols — the "
+            "checkpointed kernel stage projects exactly (url, html, bucket); "
+            "use extract_job for passthrough columns"
+        )
+    if spark.conf.get("spark.speculation", "false") == "true":
+        raise ValueError(
+            "resumable_extract requires spark.speculation=false: ledger "
+            "metrics ride a transformation-side accumulator, which "
+            "speculative duplicate tasks would double-count"
         )
     ledger_dir = cfg.checkpoint_dir or os.path.join(output_path + "_ledger")
     run_id = uuid.uuid4().hex[:16]
@@ -185,7 +204,8 @@ def resumable_extract(
         acc = spark.sparkContext.accumulator({}, _BucketStatsParam())
         subset = pages.where(F.col("bucket").isin(group))
         result = subset.mapInPandas(
-            _extract_batches_with_stats(acc), EXTRACT_SCHEMA + ", bucket int"
+            _extract_batches_with_stats(acc, cfg.preserve_interword_spaces),
+            EXTRACT_SCHEMA + ", bucket int",
         )
         # commit output first (compute-then-commit, CHANGELOG.md:83 analog):
         # the ledger row is written only after the partition data is durable.

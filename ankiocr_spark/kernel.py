@@ -411,10 +411,11 @@ _SNIFF_BYTES = 2048
 def detect_encoding(raw: bytes) -> str:
     if raw[:3] == b"\xef\xbb\xbf":
         return "utf-8-sig"
-    if raw[:2] == b"\xff\xfe":
-        return "utf-16-le"
-    if raw[:2] == b"\xfe\xff":
-        return "utf-16-be"
+    if raw[:2] in (b"\xff\xfe", b"\xfe\xff"):
+        # 'utf-16' (not '-le'/'-be') so the codec CONSUMES the BOM —
+        # endianness comes from the BOM itself; the endian-specific codecs
+        # would leave U+FEFF in the first decoded segment (phantom block)
+        return "utf-16"
     m = _META_CHARSET.search(raw[:_SNIFF_BYTES])
     if m:
         label = m.group(1).decode("ascii").lower()
@@ -422,6 +423,11 @@ def detect_encoding(raw: bytes) -> str:
 
         try:
             codecs.lookup(label)
+            # HTML5 encoding sniffing: an ASCII-visible <meta> cannot occur
+            # in genuine UTF-16, so a utf-16* label means the bytes are
+            # really 8-bit — the spec maps these labels to UTF-8
+            if label.startswith("utf-16") or label.startswith("utf_16"):
+                return "utf-8"
             return label
         except LookupError:
             pass  # unknown label → UTF-8 fallback, never an error row

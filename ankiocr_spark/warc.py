@@ -57,9 +57,16 @@ def iter_warc_records(data: bytes) -> Iterator[Tuple[dict, bytes]]:
                 "latin-1"
             )
         try:
-            clen = int(headers.get("content-length", "0"))
-        except ValueError:
-            clen = 0
+            clen = int(headers["content-length"])
+        except (KeyError, ValueError) as exc:
+            # Content-Length is mandatory (ISO 28500 §5.3): without it the
+            # scanner would resync on the next b'WARC/' — which may sit
+            # INSIDE a payload, fabricating bogus records with garbage
+            # headers. Raise so read_warc quarantines the whole file.
+            raise ValueError(
+                f"WARC record at byte {start} has no parseable "
+                f"Content-Length ({exc!r})"
+            ) from exc
         body_at = hdr_end + 4
         yield headers, data[body_at:body_at + clen]
         i = body_at + clen

@@ -127,12 +127,21 @@ def test_charset_sniffing():
          'charset=windows-1252">' + body).encode("cp1252")
     assert detect_encoding(w) == "windows-1252"
     assert "café résumé" in extract_main_text(w)
-    # UTF-16 BOMs
-    for enc, codec in (("utf-16-le", "utf-16-le"), ("utf-16-be", "utf-16-be")):
-        bom = b"\xff\xfe" if enc == "utf-16-le" else b"\xfe\xff"
+    # UTF-16 BOMs → the BOM-consuming 'utf-16' codec, so no U+FEFF ever
+    # leaks into the first block (phantom-block regression)
+    for codec in ("utf-16-le", "utf-16-be"):
+        bom = b"\xff\xfe" if codec == "utf-16-le" else b"\xfe\xff"
         payload = bom + body.encode(codec)
-        assert detect_encoding(payload) == enc
-        assert "café résumé" in extract_main_text(payload)
+        assert detect_encoding(payload) == "utf-16"
+        extracted = extract_main_text(payload)
+        assert "café résumé" in extracted
+        assert "﻿" not in extracted
+    # HTML5 prescan: an ASCII-visible meta utf-16 label is a lie (genuine
+    # UTF-16 can't contain it) — mapped to utf-8 per the spec
+    for label in ("utf-16", "utf-16le", "UTF-16BE"):
+        lied = (f'<meta charset="{label}">' + body).encode("utf-8")
+        assert detect_encoding(lied) == "utf-8"
+        assert "café résumé" in extract_main_text(lied)
     # UTF-8 BOM stripped (utf-8-sig), not emitted as U+FEFF text
     assert extract_main_text(b"\xef\xbb\xbf" + body.encode()) == \
         extract_main_text(body.encode())

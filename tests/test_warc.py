@@ -73,6 +73,24 @@ def test_multi_member_gzip():
     assert len(parse_warc_pages(single)) == 5
 
 
+def test_missing_content_length_raises_for_quarantine():
+    """A record without a parseable Content-Length must raise (ISO 28500
+    makes the header mandatory): the old resync-on-next-'WARC/' behavior
+    could lock onto a 'WARC/' occurrence INSIDE a payload and fabricate
+    bogus records. read_warc turns the raise into a file quarantine."""
+    import pytest
+
+    no_len = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: https://a/1\r\n\r\n<p>body WARC/1.0 trap</p>"
+    )
+    with pytest.raises(ValueError, match="Content-Length"):
+        list(iter_warc_records(no_len))
+    bad_len = no_len.replace(b"\r\n\r\n<p>", b"\r\nContent-Length: nan\r\n\r\n<p>")
+    with pytest.raises(ValueError, match="Content-Length"):
+        list(iter_warc_records(bad_len))
+
+
 def test_spark_ingest_round_trip(spark, tmp_path):
     rows = [
         (f"https://w/{i}", "2026-01-01T00:00:00Z",
