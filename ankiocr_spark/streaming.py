@@ -233,6 +233,7 @@ def start_stream_host_tracker(
     input_dir: str,
     output_dir: str,
     checkpoint_dir: str,
+    max_files_per_trigger: Optional[int] = None,
 ) -> StreamingQuery:
     """Custom stateful streaming operator (applyInPandasWithState): a
     running per-host crawl ledger — cumulative page count, byte volume and
@@ -244,7 +245,7 @@ def start_stream_host_tracker(
     mode: each trigger emits one refreshed row per host that saw pages."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    pages = stream_pages(spark, input_dir)
+    pages = stream_pages(spark, input_dir, max_files_per_trigger)
     per_host = pages.select(
         F.regexp_extract("url", r"^[a-z]+://([^/]+)/", 1).alias("host"),
         F.octet_length("html").alias("n_bytes"),
@@ -393,6 +394,77 @@ WHERE window_start + INTERVAL 1 HOUR <= wm.w
 """
 
 
+def q_stream_host_tracker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value oracle for the custom stateful operator (VERDICT r2 #3 — the
+    last pytest-only capability): drain a 4-file crawl dump through
+    ``start_stream_host_tracker`` one file per trigger, then read each
+    host's LAST emitted row (max epoch). Because the operator's state is
+    cumulative per host, that final row equals the full-dump per-host
+    aggregate — a closed form over ``documents`` that is independent of
+    file/trigger order, so genuine multi-trigger statefulness is exercised
+    while staying exactly oracle-able. The dump itself is generated
+    DISTRIBUTED (Spark write, no driver materialization)."""
+    import os
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from .ops import WRAP_PREFIX, WRAP_SUFFIX, load
+
+    base = tempfile.mkdtemp(prefix="stream_h_")
+    in_dir = os.path.join(base, "in")
+    (
+        load(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select(
+            F.concat(
+                F.lit("https://h"), (F.col("doc_id") % 7).cast("string"),
+                F.lit(".example.org/doc/"), F.col("doc_id").cast("string"),
+            ).alias("url"),
+            F.expr(
+                "timestamp'2024-01-01 00:00:00' + doc_id * INTERVAL 1 MINUTE"
+            ).alias("warc_ts"),
+            F.encode(
+                F.concat(F.lit(WRAP_PREFIX), F.col("text"), F.lit(WRAP_SUFFIX)),
+                "utf-8",
+            ).alias("html"),
+            F.col("text"),
+            F.col("lang"),
+        )
+        .repartition(4)
+        .write.parquet(in_dir)
+    )
+    q = start_stream_host_tracker(
+        spark, in_dir, os.path.join(base, "out"), os.path.join(base, "ckpt"),
+        max_files_per_trigger=1,
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("host-tracker stream did not drain")
+    out = spark.read.parquet(os.path.join(base, "out"))
+    w = Window.partitionBy("host").orderBy(F.col("epoch").desc())
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("host", "n_pages", "n_bytes", "last_ts")
+    )
+
+
+def _oracle_stream_host_tracker() -> str:
+    from .ops import WRAP_PREFIX, WRAP_SUFFIX
+
+    wrap_bytes = len((WRAP_PREFIX + WRAP_SUFFIX).encode("utf-8"))
+    return f"""
+SELECT 'h' || (doc_id % 7) || '.example.org' AS host,
+       count(*)::BIGINT AS n_pages,
+       sum({wrap_bytes} + octet_length(encode(text)))::BIGINT AS n_bytes,
+       max(TIMESTAMP '2024-01-01 00:00:00' + doc_id * INTERVAL 1 MINUTE)
+           AS last_ts
+FROM documents WHERE text IS NOT NULL
+GROUP BY 1
+"""
+
+
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming url-dedup (``dropDuplicatesWithinWatermark``) with a FULL
     value oracle: the input is the wrapped pages dump written TWICE (an
@@ -436,9 +508,11 @@ QUERIES = {
     "stream_extract": q_stream_extract,
     "stream_window_stats": q_stream_window_stats,
     "stream_dedup": q_stream_dedup,
+    "stream_host_tracker": q_stream_host_tracker,
 }
 ORACLE_SQL = {
     "stream_extract": ORACLE_FLAGSHIP,
     "stream_window_stats": ORACLE_STREAM_WINDOW,
     "stream_dedup": ORACLE_FLAGSHIP,
+    "stream_host_tracker": _oracle_stream_host_tracker(),
 }
