@@ -16,6 +16,7 @@ machinery required by the scale target (SURVEY.md §2.1 last paragraph).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_bucketed(
@@ -24,14 +25,21 @@ def write_bucketed(
     buckets: int,
     key: str,
     sort: bool = True,
+    path: str = None,
 ) -> None:
     """Persist ``df`` as a bucketed (and optionally sort-ordered) table.
-    Sorting by the key lets SortMergeJoin skip its sort too."""
+    Sorting by the key lets SortMergeJoin skip its sort too. With ``path``
+    the table is EXTERNAL at that location — use a fresh path for
+    rerun-safe jobs: a managed table's warehouse directory outlives the
+    (per-session) catalog entry, so a second session's identically-named
+    saveAsTable dies with LOCATION_ALREADY_EXISTS."""
     writer = (
         df.write.mode("overwrite").format("parquet").bucketBy(buckets, key)
     )
     if sort:
         writer = writer.sortBy(key)
+    if path:
+        writer = writer.option("path", path)
     writer.saveAsTable(table)
 
 
@@ -50,3 +58,111 @@ def count_exchanges(df: DataFrame) -> int:
         line.strip().lstrip("+-*( 0123456789)").startswith("Exchange")
         for line in plan.splitlines()
     )
+
+
+def merge_upsert(
+    spark: SparkSession, target_table: str, delta_table: str, key: str = "url"
+) -> DataFrame:
+    """Iceberg ``MERGE INTO target USING delta ON key WHEN MATCHED THEN
+    UPDATE SET * WHEN NOT MATCHED THEN INSERT *`` re-expressed over
+    same-bucketed parquet tables (the SCALE.md mapping's promise): a
+    full-outer join on the bucket key where a matched delta row wins
+    WHOLESALE (row-wins, not per-column coalesce) and unmatched rows from
+    either side pass through. Because both tables are bucketed and
+    sort-ordered on ``key``, the join plans with ZERO Exchange and zero
+    Sort — at 100 TB a re-crawl MERGE touches no shuffle at all."""
+    t = spark.table(target_table).alias("t")
+    d = spark.table(delta_table).alias("d")
+    val_cols = [c for c in spark.table(target_table).columns if c != key]
+    matched = F.col(f"d.{key}").isNotNull()
+    return t.join(d, F.col(f"t.{key}") == F.col(f"d.{key}"), "full_outer").select(
+        F.coalesce(F.col(f"d.{key}"), F.col(f"t.{key}")).alias(key),
+        *[
+            F.when(matched, F.col(f"d.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
+            for c in val_cols
+        ],
+    )
+
+
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query (VERDICT r2 stretch #9): a re-crawl delta applied to
+    the extract table via the bucketed MERGE analog, with the co-located
+    zero-Exchange join doing real work. Target = the flagship extract of
+    every document; delta = a re-crawl of every 5th doc whose content
+    changed ('UPDATED ' prefix) plus brand-new pages for every 7th doc —
+    so the merged result exercises matched-update, unmatched-keep, and
+    insert paths, all in the flagship's closed form."""
+    from .config import ExtractConfig
+    from .job import run_extract
+    from .ops import URL_PREFIX, WRAP_PREFIX, WRAP_SUFFIX, docs_as_pages, load
+
+    def wrap(text_col):
+        return F.encode(
+            F.concat(F.lit(WRAP_PREFIX), text_col, F.lit(WRAP_SUFFIX)), "utf-8"
+        )
+
+    docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    updates = docs.where(F.col("doc_id") % 5 == 0).select(
+        F.concat(F.lit(URL_PREFIX), F.col("doc_id").cast("string")).alias("url"),
+        wrap(F.concat(F.lit("UPDATED "), F.col("text"))).alias("html"),
+        F.lit(None).cast("string").alias("lang"),
+    )
+    inserts = docs.where(F.col("doc_id") % 7 == 0).select(
+        F.concat(
+            F.lit(URL_PREFIX), (F.col("doc_id") + 1000000).cast("string")
+        ).alias("url"),
+        wrap(F.col("text")).alias("html"),
+        F.lit(None).cast("string").alias("lang"),
+    )
+    cfg = ExtractConfig(salt_buckets=8)
+    target = run_extract(
+        spark, docs_as_pages(spark, sf_dir).where(F.col("html").isNotNull()), cfg
+    ).select("url", "extracted_text")
+    delta = run_extract(spark, updates.unionByName(inserts), cfg).select(
+        "url", "extracted_text"
+    )
+    import os
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="merge_q_")
+    for name, df in (("merge_target_q", target), ("merge_delta_q", delta)):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        # external table at a fresh temp path: rerun-safe across sessions
+        # (a managed table's location would survive this session's catalog)
+        write_bucketed(df, name, buckets=8, key="url",
+                       path=os.path.join(base, name))
+    return merge_upsert(spark, "merge_target_q", "merge_delta_q")
+
+
+def _oracle_merge_upsert() -> str:
+    from .ops import H1_TEXT, URL_PREFIX
+
+    def extract(text_expr):
+        return (
+            f"CASE WHEN length(trim({text_expr})) >= 25 "
+            f"THEN '{H1_TEXT}' || chr(10) || trim({text_expr}) "
+            f"ELSE '{H1_TEXT}' END"
+        )
+
+    return f"""
+WITH t AS (
+  SELECT '{URL_PREFIX}' || doc_id AS url, {extract("text")} AS extracted_text
+  FROM documents WHERE text IS NOT NULL),
+upd AS (
+  SELECT '{URL_PREFIX}' || doc_id AS url,
+         {extract("'UPDATED ' || text")} AS extracted_text
+  FROM documents WHERE doc_id % 5 = 0 AND text IS NOT NULL),
+ins AS (
+  SELECT '{URL_PREFIX}' || (doc_id + 1000000) AS url,
+         {extract("text")} AS extracted_text
+  FROM documents WHERE doc_id % 7 = 0 AND text IS NOT NULL),
+d AS (SELECT * FROM upd UNION ALL SELECT * FROM ins)
+SELECT coalesce(d.url, t.url) AS url,
+       CASE WHEN d.url IS NOT NULL THEN d.extracted_text
+            ELSE t.extracted_text END AS extracted_text
+FROM t FULL OUTER JOIN d ON t.url = d.url
+"""
+
+
+QUERIES = {"merge_upsert": q_merge_upsert}
+ORACLE_SQL = {"merge_upsert": _oracle_merge_upsert()}

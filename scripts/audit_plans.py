@@ -51,6 +51,8 @@ AUDIT = [
     "json_props_histogram",
     "outlinks",
     "pagerank",
+    "outlinks_pagerank",
+    "merge_upsert",
 ]
 
 def plan_text(df) -> str:

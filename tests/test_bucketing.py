@@ -57,3 +57,39 @@ def test_unbucketed_join_does_shuffle(spark, sf_dir):
         assert count_exchanges(joined) >= 1
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_merge_upsert_semantics_and_zero_exchange(spark, tmp_path):
+    """The Iceberg MERGE analog: matched delta rows win wholesale, unmatched
+    target rows survive, new delta rows insert — planned with zero Exchange
+    over the same-bucketed tables (broadcast disabled so the SortMergeJoin
+    actually exercises the bucketed co-location)."""
+    from ankiocr_spark.bucketing import merge_upsert
+
+    target = spark.createDataFrame(
+        [("u1", "old1", "a"), ("u2", "old2", "b"), ("u3", None, "c")],
+        "url string, extracted_text string, tag string",
+    )
+    delta = spark.createDataFrame(
+        [("u2", "new2", None), ("u4", "new4", "d")],
+        "url string, extracted_text string, tag string",
+    )
+    write_bucketed(target, "m_t", 4, "url")
+    write_bucketed(delta, "m_d", 4, "url")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        merged = merge_upsert(spark, "m_t", "m_d")
+        assert count_exchanges(merged) == 0, (
+            merged._jdf.queryExecution().executedPlan().toString()[:2000]
+        )
+        got = {r["url"]: (r["extracted_text"], r["tag"]) for r in merged.collect()}
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS m_t")
+        spark.sql("DROP TABLE IF EXISTS m_d")
+    assert got == {
+        "u1": ("old1", "a"),      # unmatched target kept
+        "u2": ("new2", None),     # matched: delta row wins WHOLESALE
+        "u3": (None, "c"),        # null target value preserved, no delta
+        "u4": ("new4", "d"),      # insert
+    }
