@@ -55,6 +55,34 @@ AUDIT = [
     "merge_upsert",
 ]
 
+#: caveats rendered under the flags line — mostly for iterative queries,
+#: where the printed tree nests InMemoryRelation subplans whose Exchanges
+#: already ran exactly once (materialized by the per-iteration scalar
+#: action) and will NOT re-execute when the returned DataFrame runs.
+NOTES = {
+    "pagerank": (
+        "Iterative query: the Exchange/Join counts include InMemoryRelation "
+        "subtrees (cached nodes/edges/rank generations) that were "
+        "materialized once by the per-iteration dangling-mass action; the "
+        "marginal work of executing the returned DataFrame is ONE join + "
+        "ONE groupBy over cached inputs (2 shuffles on the same key)."
+    ),
+    "outlinks_pagerank": (
+        "Composition of the outlinks mapInPandas stage with the general "
+        "PageRank. Same iterative-plan caveat as `pagerank`: nested "
+        "InMemoryRelation subtrees inflate the printed Exchange count; per "
+        "iteration the executed work is one equi-join on src + one groupBy "
+        "on dst + a one-scalar dangling aggregate, all over cached "
+        "relations (the edge scan parsed HTML exactly once)."
+    ),
+    "merge_upsert": (
+        "The Iceberg MERGE analog: full-outer SortMergeJoin over two "
+        "same-bucketed, sort-ordered tables — zero Exchange, zero Sort "
+        "(bucketed scan exposes the hash partitioning and order)."
+    ),
+}
+
+
 def plan_text(df) -> str:
     buf = io.StringIO()
     with redirect_stdout(buf):
@@ -78,7 +106,12 @@ def main() -> None:
             n = txt.count(needle)
             if n:
                 flags.append(f"{needle}×{n}")
-        out.append(f"\n## {name}\n\n`{', '.join(flags)}`\n\n```\n{txt}```\n")
+        note = NOTES.get(name, "")
+        out.append(
+            f"\n## {name}\n\n`{', '.join(flags)}`\n"
+            + (f"\n{note}\n" if note else "")
+            + f"\n```\n{txt}```\n"
+        )
     spark.stop()
     os.makedirs(os.path.join(REPO, "docs"), exist_ok=True)
     with open(os.path.join(REPO, "docs", "PLANS.md"), "w") as f:
