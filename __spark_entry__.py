@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from ankiocr_spark import bucketing, links, ops, pdftext, streaming, warc  # noqa: E402
+from ankiocr_spark import bucketing, checkpoint, links, ops, pdftext, streaming, warc  # noqa: E402
 from ankiocr_spark.datapipe import (  # noqa: E402
     analytics, dedup, multimodal, relational, similarity, textstats,
 )
@@ -33,8 +33,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for mod in (ops, pdftext, warc, links, streaming, bucketing, dedup,
-                similarity, textstats, multimodal, analytics, relational):
+    for mod in (ops, pdftext, warc, links, streaming, bucketing, checkpoint,
+                dedup, similarity, textstats, multimodal, analytics, relational):
         for name, fn in mod.QUERIES.items():
             def wrapped(spark, sf_dir, _fn=fn):
                 ensure_workers_can_import(spark)
@@ -45,7 +45,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
-    for mod in (ops, pdftext, warc, links, streaming, bucketing, dedup,
-                similarity, textstats, multimodal, analytics, relational):
+    for mod in (ops, pdftext, warc, links, streaming, bucketing, checkpoint,
+                dedup, similarity, textstats, multimodal, analytics, relational):
         out.update(mod.ORACLE_SQL)
     return out

@@ -243,3 +243,45 @@ def resumable_extract(
         "buckets_processed": len(pending),
         "ledger_dir": ledger_dir,
     }
+
+
+def q_resumable_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query for the checkpoint/commit path (SURVEY §2 rows 19-21):
+    run the ledger-checkpointed job, KILL it after 2 of 4 bucket groups
+    (the reference's cancel loses everything, ocr.py:104-105 — here
+    completed buckets survive), then resume. The resume must skip the
+    completed buckets (asserted on the summary) and the final table must
+    equal the flagship closed form — so resumability is VALUE-checked by
+    the driver, not just pytest-asserted. Input dump is written
+    distributed (Spark write of the wrapped docs)."""
+    import os
+    import tempfile
+
+    from .ops import docs_as_pages
+
+    base = tempfile.mkdtemp(prefix="resume_q_")
+    in_dir = os.path.join(base, "pages")
+    docs_as_pages(spark, sf_dir).write.parquet(in_dir)
+    out = os.path.join(base, "out")
+    cfg = ExtractConfig(
+        salt_buckets=8, checkpoint_dir=os.path.join(base, "ledger")
+    )
+    try:
+        resumable_extract(spark, in_dir, out, cfg,
+                          bucket_groups=4, fail_after_groups=2)
+    except RuntimeError:
+        pass  # the simulated mid-run kill — ledger keeps completed buckets
+    summary = resumable_extract(spark, in_dir, out, cfg, bucket_groups=4)
+    if not summary["buckets_skipped"]:
+        raise AssertionError("resume recomputed everything — ledger ignored")
+    return spark.read.parquet(out).select("url", "extracted_text").orderBy("url")
+
+
+def _oracle_resumable() -> str:
+    from .ops import ORACLE_FLAGSHIP
+
+    return ORACLE_FLAGSHIP
+
+
+QUERIES = {"resumable_extract": q_resumable_extract}
+ORACLE_SQL = {"resumable_extract": _oracle_resumable()}

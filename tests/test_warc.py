@@ -127,3 +127,26 @@ def test_corrupt_file_quarantined_not_fatal(spark, tmp_path):
     assert "crawl-bad" in errors[0]["url"] and errors[0]["html"] is None
     assert errors[0]["text"]  # the error message rides the text column
     assert len(pages) == 10
+
+
+def test_distributed_dump_matches_driver_side_writer(spark, tmp_path):
+    """write_warc_dump_distributed (foreachPartition writer tasks) must land
+    the same RECORD SET as the driver-side writer — file→record assignment
+    may differ (hash partitioning vs round-robin), the parsed union may not."""
+    from ankiocr_spark.warc import write_warc_dump_distributed
+
+    rows = [
+        (f"https://d/{i}", "2026-01-01T00:00:00Z",
+         f"<p>distributed page {i} with enough body text to matter</p>".encode())
+        for i in range(30)
+    ]
+    drv_dir, dist_dir = str(tmp_path / "drv"), str(tmp_path / "dist")
+    write_warc_dump(rows, drv_dir, n_files=4)
+    pages = spark.createDataFrame(
+        [(u, d, h) for u, d, h in rows],
+        "url string, warc_date string, html binary",
+    )
+    write_warc_dump_distributed(pages, dist_dir, n_files=4)
+    a = {(r["url"], bytes(r["html"])) for r in read_warc(spark, drv_dir).collect()}
+    b = {(r["url"], bytes(r["html"])) for r in read_warc(spark, dist_dir).collect()}
+    assert a == b and len(a) == 30
