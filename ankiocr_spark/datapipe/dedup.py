@@ -13,8 +13,10 @@ Scale notes (the 100 TB design point):
 
 All hashes are md5-derived (`conv(substr(md5(x),1,15),16,10)`) so the
 DuckDB oracle reproduces them exactly; xxhash64 would be faster JVM-side
-but is not available to the oracle. At production scale swap HASH_EXPR for
-xxhash64 — the plan shape is identical.
+but is not available to the oracle. At production scale swap the md5 base
+for xxhash64 — the plan shape is identical. MinHash additionally uses the
+textbook one-base-hash + K universal affine transforms (mod 2^61−1)
+instead of K hash passes, so the largest stage hashes each shingle ONCE.
 """
 
 from __future__ import annotations
@@ -187,6 +189,19 @@ WHERE round(n_inter / (n_a + n_b - n_inter), 6) >= {JACCARD_THRESHOLD}
 MINHASH_K = 8        # signature length
 LSH_BAND_ROWS = 2    # rows per band → 4 bands
 
+#: Universal-hash family for the K minhash permutations: ONE md5 base hash
+#: per shingle (40 bits, so A*h+B stays far inside int64) + K affine
+#: transforms (A_s·h + B_s) mod P with P = 2^61−1. The previous shape
+#: computed K md5s per shingle — K× the hashing work on the single largest
+#: stage of the pipeline (at 10^12 docs the shingle stream is ~10^14 rows).
+#: Fixed constants so Spark and the DuckDB oracle agree bit-for-bit.
+MINHASH_P = (1 << 61) - 1
+MINHASH_AB = [
+    (683377, 285419), (911933, 887011), (236713, 613397), (103681, 419057),
+    (544301, 95093), (874583, 76493), (395117, 962897), (716929, 274933),
+]
+assert len(MINHASH_AB) == MINHASH_K and all(a < 1 << 20 for a, _ in MINHASH_AB)
+
 #: LSH buckets larger than this are emitted as cluster summaries instead of
 #: pairs — a bucket of B docs yields B(B-1)/2 pairs, so one 10^6-doc
 #: boilerplate cluster alone would emit 5·10^11 rows. Giant buckets ARE the
@@ -196,19 +211,24 @@ MAX_BAND_BUCKET = 10000
 
 
 def minhash_signatures(sh: DataFrame) -> DataFrame:
-    """(doc_id, m0..m{K-1}): per-seed min of the seeded md5 hash over the
-    doc's shingles, as ONE groupBy carrying K aggregate expressions — no
+    """(doc_id, m0..m{K-1}): per-permutation min over the doc's shingles,
+    as ONE groupBy carrying K aggregate expressions — no
     ``explode(sequence(0, K-1))`` row amplification (same rewrite as the
     SimHash sketch): all K min-counters ride a single map-side partial
     aggregation and the shuffle moves O(docs) rows of K columns instead
-    of O(docs × K) rows."""
+    of O(docs × K) rows. The K permutations are universal-hash transforms
+    of ONE md5 base hash (MINHASH_AB above), not K separate md5 passes."""
+    base = F.conv(F.substring(F.md5(F.col("shingle")), 1, 10), 16, 10).cast(
+        "bigint"
+    )
+    hashed = sh.select("doc_id", base.alias("hb"))
     mins = [
-        F.min(
-            _md5int(F.concat(F.lit(f"{s}|"), F.col("shingle")))
-        ).alias(f"m{s}")
-        for s in range(MINHASH_K)
+        F.min((F.lit(a) * F.col("hb") + F.lit(b)) % F.lit(MINHASH_P)).alias(
+            f"m{s}"
+        )
+        for s, (a, b) in enumerate(MINHASH_AB)
     ]
-    return sh.groupBy("doc_id").agg(*mins)
+    return hashed.groupBy("doc_id").agg(*mins)
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -257,6 +277,10 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEED_VALUES = ", ".join(
+    f"({s}, {a}, {b})" for s, (a, b) in enumerate(MINHASH_AB)
+)
+
 ORACLE_DEDUP_MINHASH = f"""
 WITH tok AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
 sh AS (
@@ -266,10 +290,13 @@ sh AS (
                                     i -> array_to_string(list_slice(t, i, i + 2), ' '))
                 ELSE [array_to_string(t, ' ')] END) AS shingle
   FROM tok),
+seeds(seed, a, b) AS (VALUES {_SEED_VALUES}),
+based AS (
+  SELECT doc_id, (('0x' || substr(md5(shingle), 1, 10))::bigint) AS hb
+  FROM sh),
 hashed AS (
-  SELECT doc_id, seed,
-         (('0x' || substr(md5(seed || '|' || shingle), 1, 15))::bigint) AS h
-  FROM sh, generate_series(0, {MINHASH_K - 1}) AS g(seed)),
+  SELECT doc_id, seed, (a * hb + b) % {MINHASH_P} AS h
+  FROM based, seeds),
 sig AS (SELECT doc_id, seed, min(h) AS minhash FROM hashed GROUP BY 1, 2),
 bands AS (
   SELECT doc_id, (seed // {LSH_BAND_ROWS}) AS band,
