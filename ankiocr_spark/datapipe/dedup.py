@@ -103,45 +103,51 @@ MAX_SHINGLE_DF = 1000
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise Jaccard over df-capped 3-word shingle sets.
 
-    Scale design: the df-cap window partitions by `shingle` and shares its
-    hash partitioning with the postings groupBy, so Catalyst reuses the
-    exchange. Per-document set sizes come from a groupBy (map-side partial
-    aggregation — the shuffle moves O(docs) counter rows) and are joined
-    onto the AGGREGATED pair set, which is tiny by construction; the
-    previous shape carried sizes on the shingle rows via a
-    `count(*) OVER (PARTITION BY doc_id)` window, which shuffled the
-    entire capped shingle stream row-for-row with no partial agg — at
-    10^12 docs that stream is ~100× the doc count. The only quadratic
+    Scale design: set sizes are carried ON the shingle rows via window
+    functions instead of joined in afterwards — the old shape broadcast a
+    per-document sizes table (one row per doc = 10^12 rows at scale, an
+    impossible broadcast). The two windows partition by `shingle` and
+    `doc_id`; the `shingle` window shares its hash partitioning with the
+    self-join key, so Catalyst reuses the exchange. The only quadratic
     stage is the pair aggregation, bounded by MAX_SHINGLE_DF."""
     docs = _load_docs(spark, sf_dir)
     sh = shingles(docs)
     capped = sh.withColumn(
         "df", F.count("*").over(Window.partitionBy("shingle"))
     ).where(F.col("df") <= MAX_SHINGLE_DF)
-    sizes = capped.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    wn = capped.select(
+        "doc_id",
+        "shingle",
+        F.count("*").over(Window.partitionBy("doc_id")).alias("n_sh"),
+    )
     # same no-self-join shape as the LSH band join (see q_dedup_minhash_lsh):
-    # collect each shingle's doc-id postings list once — bounded by
+    # collect each shingle's (doc_id, n_sh) postings list once — bounded by
     # MAX_SHINGLE_DF — and explode ordered pairs from it, instead of
     # re-computing the shingle pipeline for both sides of a join.
     postings = (
-        capped.groupBy("shingle")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
-        .where(F.size("ds") >= 2)
+        wn.groupBy("shingle")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("doc_id", "n_sh"))).alias("ps")
+        )
+        .where(F.size("ps") >= 2)
     )
-    pair_rows = postings.select(F.explode("ds").alias("doc_a"), "ds").select(
-        "doc_a",
-        F.explode(F.filter("ds", lambda d: d > F.col("doc_a"))).alias("doc_b"),
+    pair_rows = postings.select(F.explode("ps").alias("a"), "ps").select(
+        "a",
+        F.explode(
+            F.filter("ps", lambda p: p["doc_id"] > F.col("a.doc_id"))
+        ).alias("b"),
     )
-    inter = pair_rows.groupBy("doc_a", "doc_b").agg(
-        F.count("*").alias("n_inter")
+    inter = (
+        pair_rows.groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(
+            F.count("*").alias("n_inter"),
+            F.first("a.n_sh").alias("n_a"),
+            F.first("b.n_sh").alias("n_b"),
+        )
     )
-    sized = (
-        inter.join(sizes.withColumnRenamed("doc_id", "doc_a")
-                        .withColumnRenamed("n_sh", "n_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b")
-                   .withColumnRenamed("n_sh", "n_b"), "doc_b")
-    )
-    jac = sized.select(
+    jac = inter.select(
         "doc_a",
         "doc_b",
         F.round(
