@@ -109,7 +109,15 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     impossible broadcast). The two windows partition by `shingle` and
     `doc_id`; the `shingle` window shares its hash partitioning with the
     self-join key, so Catalyst reuses the exchange. The only quadratic
-    stage is the pair aggregation, bounded by MAX_SHINGLE_DF."""
+    stage is the pair aggregation, bounded by MAX_SHINGLE_DF.
+
+    Considered and REJECTED (r3): computing sizes as a separate
+    groupBy(doc_id) branch joined onto the aggregated pairs — it trades
+    the doc_id window's stream shuffle for a smaller partial-aggregated
+    one, but DataFrames have no common-subexpression reuse across join
+    branches, so the plan re-scanned the input and re-ran the whole
+    shingle pipeline per branch (ReadSchema×3 in the audit). One lineage
+    with one extra stream shuffle beats three lineages at any scale."""
     docs = _load_docs(spark, sf_dir)
     sh = shingles(docs)
     capped = sh.withColumn(
