@@ -326,15 +326,15 @@ WHERE a.doc_id < b.doc_id GROUP BY 1, 2
 SIMHASH_BITS = 32
 
 
-def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash sketch per document from distinct-token hashes:
-    bit b of the sketch = sign of Σ_tokens (±1 from bit b of md5(token)).
+def simhash_sketch(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash): 32-bit SimHash per document from distinct-token
+    hashes — bit b of the sketch = sign of Σ_tokens (±1 from bit b of
+    md5(token)).
 
     One groupBy over token rows with 32 bit-extract aggregate expressions —
     no `explode(sequence(0,31))` row amplification (round-1 VERDICT stretch):
     the per-bit counters ride in the same map-side partial aggregation, so
     the shuffle is O(docs), not O(docs×32)."""
-    docs = _load_docs(spark, sf_dir)
     toks = docs.select(
         "doc_id",
         F.explode(F.array_distinct(F.split("text", " "))).alias("token"),
@@ -353,6 +353,10 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sig.select("doc_id", acc.cast("bigint").alias("simhash"))
 
 
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_sketch(_load_docs(spark, sf_dir))
+
+
 ORACLE_DEDUP_SIMHASH = f"""
 WITH toks AS (
   SELECT DISTINCT doc_id, unnest(str_split(text, ' ')) AS token FROM documents),
@@ -369,11 +373,115 @@ FROM bits GROUP BY doc_id
 """
 
 
+# --- SimHash near-dup pairing -------------------------------------------------
+
+#: Hamming radius for SimHash near-dups. With the sketch split into 4
+#: byte-bands, the pigeonhole principle makes the blocking EXACT at r ≤ 3:
+#: any pair within hamming distance 3 differs in at most 3 of the 4 bytes,
+#: so at least one byte matches and the pair lands in a shared bucket —
+#: no recall loss, unlike probabilistic LSH.
+SIMHASH_HAMMING_MAX = 3
+SIMHASH_BANDS = 4  # 8-bit bands over the 32-bit sketch
+
+
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs via byte-band blocking: docs sharing any of
+    the sketch's 4 bytes are candidates; survivors have popcount(xor) ≤ 3.
+    Same no-self-join postings shape as the other dedup ops — sketches ride
+    the bucket postings list, so the candidate pairs never rejoin the
+    corpus. Shuffle volume is O(docs × 4 bands); the giant-bucket cap
+    bounds the quadratic exactly like MinHash-LSH.
+
+    The driver corpus has no near-identical docs, so (like dedup_exact) a
+    deterministic near-dup slice is unioned in-flight: every 10th doc
+    re-keyed with ONE token appended — a handful of sketch bits flip and
+    the pair must surface within the hamming radius."""
+    docs = _load_docs(spark, sf_dir).select("doc_id", "text")
+    neardups = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" neardup")).alias("text"),
+    )
+    sig = simhash_sketch(docs.unionByName(neardups))
+    band_structs = [
+        F.struct(
+            F.lit(p).alias("p"),
+            F.shiftright(F.col("simhash"), 8 * p).bitwiseAND(F.lit(255)).alias(
+                "byte"
+            ),
+        )
+        for p in range(SIMHASH_BANDS)
+    ]
+    bands = sig.select(
+        "doc_id", "simhash", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc_id", "simhash", "bb.p", "bb.byte")
+    buckets = (
+        bands.groupBy("p", "byte")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "simhash"))).alias("ps"))
+        .where((F.size("ps") >= 2) & (F.size("ps") <= MAX_BAND_BUCKET))
+    )
+    pair_rows = buckets.select(F.explode("ps").alias("a"), "ps").select(
+        "a",
+        F.explode(
+            F.filter("ps", lambda q: q["doc_id"] > F.col("a.doc_id"))
+        ).alias("b"),
+    )
+    pairs = (
+        pair_rows.groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(
+            F.bit_count(
+                F.first("a.simhash").bitwiseXOR(F.first("b.simhash"))
+            ).cast("bigint").alias("hamming")
+        )
+    )
+    return pairs.where(F.col("hamming") <= SIMHASH_HAMMING_MAX)
+
+
+ORACLE_DEDUP_SIMHASH_PAIRS = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text || ' neardup' AS text
+  FROM documents WHERE doc_id % 10 = 0),
+toks AS (
+  SELECT DISTINCT doc_id, unnest(str_split(text, ' ')) AS token FROM corpus),
+th AS (
+  SELECT doc_id, (('0x' || substr(md5(token), 1, 15))::bigint) AS h
+  FROM toks WHERE token <> ''),
+bits AS (
+  SELECT doc_id, b, sum(((h >> b) & 1) * 2 - 1) AS s
+  FROM th, generate_series(0, {SIMHASH_BITS - 1}) AS g(b)
+  GROUP BY doc_id, b),
+sig AS (
+  SELECT doc_id,
+         sum(CASE WHEN s >= 0 THEN (1::bigint << b) ELSE 0 END)::BIGINT
+             AS simhash
+  FROM bits GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, simhash, p, (simhash >> (8 * p)) & 255 AS byte
+  FROM sig, generate_series(0, {SIMHASH_BANDS - 1}) AS g(p)),
+small AS (
+  SELECT doc_id, simhash, p, byte FROM (
+    SELECT doc_id, simhash, p, byte,
+           count(*) OVER (PARTITION BY p, byte) AS bsz FROM bands)
+  WHERE bsz <= {MAX_BAND_BUCKET}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sa, b.simhash AS sb
+  FROM small a JOIN small b USING (p, byte)
+  WHERE a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, bit_count(xor(sa, sb))::BIGINT AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= {SIMHASH_HAMMING_MAX}
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
 }
 
 ORACLE_SQL = {
@@ -381,4 +489,5 @@ ORACLE_SQL = {
     "dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM,
     "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH,
     "dedup_simhash": ORACLE_DEDUP_SIMHASH,
+    "dedup_simhash_pairs": ORACLE_DEDUP_SIMHASH_PAIRS,
 }

@@ -1,0 +1,41 @@
+"""Dedup operator properties beyond oracle parity: SimHash byte-band
+blocking must be EXACT at the pigeonhole radius (hamming ≤ 3 over 4 bands),
+i.e. equal to brute-force pair enumeration over the sketches."""
+
+from itertools import combinations
+
+from pyspark.sql import functions as F
+
+from ankiocr_spark.datapipe.dedup import (
+    SIMHASH_HAMMING_MAX,
+    q_dedup_simhash_pairs,
+    simhash_sketch,
+)
+
+
+def test_simhash_pairs_blocking_is_exact(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    neardups = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" neardup")).alias("text"),
+    )
+    sk = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash_sketch(docs.unionByName(neardups)).collect()
+    }
+    want = {
+        (a, b, bin(sk[a] ^ sk[b]).count("1"))
+        for a, b in combinations(sorted(sk), 2)
+        if bin(sk[a] ^ sk[b]).count("1") <= SIMHASH_HAMMING_MAX
+    }
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in q_dedup_simhash_pairs(spark, sf_dir).collect()
+    }
+    # byte-band blocking at r ≤ 3 is pigeonhole-exact: identical to the
+    # all-pairs enumeration, with zero recall loss
+    assert got == want and len(got) > 0
+    # and the planted near-dup slice actually produces surfaced pairs
+    assert any(b == a + 1000000 for a, b, _ in got)
