@@ -61,7 +61,11 @@ def count_exchanges(df: DataFrame) -> int:
 
 
 def merge_upsert(
-    spark: SparkSession, target_table: str, delta_table: str, key: str = "url"
+    spark: SparkSession,
+    target_table: str,
+    delta_table: str,
+    key: str = "url",
+    assert_unique_delta: bool = True,
 ) -> DataFrame:
     """Iceberg ``MERGE INTO target USING delta ON key WHEN MATCHED THEN
     UPDATE SET * WHEN NOT MATCHED THEN INSERT *`` re-expressed over
@@ -70,9 +74,28 @@ def merge_upsert(
     WHOLESALE (row-wins, not per-column coalesce) and unmatched rows from
     either side pass through. Because both tables are bucketed and
     sort-ordered on ``key``, the join plans with ZERO Exchange and zero
-    Sort — at 100 TB a re-crawl MERGE touches no shuffle at all."""
+    Sort — at 100 TB a re-crawl MERGE touches no shuffle at all.
+
+    ``assert_unique_delta`` mirrors MERGE's runtime contract: Iceberg
+    errors when one target row matches multiple delta rows, whereas a
+    full-outer join would silently FAN OUT (one output row per duplicate,
+    corrupting key uniqueness for every later merge — r3 review fix). The
+    check is one partial-aggregated pass over the delta only (the small
+    side of a re-crawl merge); disable it for deltas already deduped
+    upstream, e.g. by the streaming url-dedup ingest."""
+    d_tbl = spark.table(delta_table)
+    if assert_unique_delta:
+        dups = (
+            d_tbl.groupBy(key).count().where(F.col("count") > 1).limit(1).count()
+        )
+        if dups:
+            raise ValueError(
+                f"delta table {delta_table!r} has duplicate {key!r} keys — "
+                "MERGE semantics forbid multiple matches per target row; "
+                "dedup the delta (e.g. keep newest warc_ts per key) first"
+            )
     t = spark.table(target_table).alias("t")
-    d = spark.table(delta_table).alias("d")
+    d = d_tbl.alias("d")
     val_cols = [c for c in spark.table(target_table).columns if c != key]
     matched = F.col(f"d.{key}").isNotNull()
     return t.join(d, F.col(f"t.{key}") == F.col(f"d.{key}"), "full_outer").select(
@@ -94,24 +117,17 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     insert paths, all in the flagship's closed form."""
     from .config import ExtractConfig
     from .job import run_extract
-    from .ops import URL_PREFIX, WRAP_PREFIX, WRAP_SUFFIX, docs_as_pages, load
-
-    def wrap(text_col):
-        return F.encode(
-            F.concat(F.lit(WRAP_PREFIX), text_col, F.lit(WRAP_SUFFIX)), "utf-8"
-        )
+    from .ops import doc_url, docs_as_pages, load, wrap_html
 
     docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     updates = docs.where(F.col("doc_id") % 5 == 0).select(
-        F.concat(F.lit(URL_PREFIX), F.col("doc_id").cast("string")).alias("url"),
-        wrap(F.concat(F.lit("UPDATED "), F.col("text"))).alias("html"),
+        doc_url(F.col("doc_id")).alias("url"),
+        wrap_html(F.concat(F.lit("UPDATED "), F.col("text"))).alias("html"),
         F.lit(None).cast("string").alias("lang"),
     )
     inserts = docs.where(F.col("doc_id") % 7 == 0).select(
-        F.concat(
-            F.lit(URL_PREFIX), (F.col("doc_id") + 1000000).cast("string")
-        ).alias("url"),
-        wrap(F.col("text")).alias("html"),
+        doc_url(F.col("doc_id") + 1000000).alias("url"),
+        wrap_html(F.col("text")).alias("html"),
         F.lit(None).cast("string").alias("lang"),
     )
     cfg = ExtractConfig(salt_buckets=8)

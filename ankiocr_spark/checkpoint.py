@@ -160,7 +160,8 @@ def resumable_extract(
             "checkpointed kernel stage projects exactly (url, html, bucket); "
             "use extract_job for passthrough columns"
         )
-    if spark.conf.get("spark.speculation", "false") == "true":
+    # case-insensitive: Spark's boolean conf parsing accepts True/TRUE
+    if spark.conf.get("spark.speculation", "false").lower() == "true":
         raise ValueError(
             "resumable_extract requires spark.speculation=false: ledger "
             "metrics ride a transformation-side accumulator, which "

@@ -198,17 +198,29 @@ MINHASH_K = 8        # signature length
 LSH_BAND_ROWS = 2    # rows per band → 4 bands
 
 #: Universal-hash family for the K minhash permutations: ONE md5 base hash
-#: per shingle (40 bits, so A*h+B stays far inside int64) + K affine
-#: transforms (A_s·h + B_s) mod P with P = 2^61−1. The previous shape
-#: computed K md5s per shingle — K× the hashing work on the single largest
-#: stage of the pipeline (at 10^12 docs the shingle stream is ~10^14 rows).
-#: Fixed constants so Spark and the DuckDB oracle agree bit-for-bit.
-MINHASH_P = (1 << 61) - 1
+#: per shingle + K affine transforms (A_s·h + B_s) mod P over the Mersenne
+#: field P = 2^31−1. The previous shape computed K md5s per shingle — K×
+#: the hashing work on the single largest stage of the pipeline (at 10^12
+#: docs the shingle stream is ~10^14 rows).
+#:
+#: Field-size reasoning (round-3 review fix): the transforms must actually
+#: WRAP the modulus — an affine map that never exceeds P is
+#: order-preserving, making every minhash coordinate a function of
+#: min(base) alone (all bands identical → degenerate LSH). With h < P and
+#: A_s < P, A·h+B < 2^62 stays inside int64 in BOTH engines (DuckDB raises
+#: on bigint overflow, so a 61-bit field with wrapping multipliers is not
+#: reproducible there), while A_s ≫ P/2^31 guarantees ~A_s wraps per hash —
+#: a genuinely 2-universal family. 31-bit collisions are immaterial to min
+#: statistics at any realistic shingle-universe size; the production swap
+#: remains xxhash64 (see module docstring).
+MINHASH_P = (1 << 31) - 1
 MINHASH_AB = [
-    (683377, 285419), (911933, 887011), (236713, 613397), (103681, 419057),
-    (544301, 95093), (874583, 76493), (395117, 962897), (716929, 274933),
+    (1094795585, 285419), (1402097911, 887011), (733686109, 613397),
+    (915131309, 419057), (1820774233, 95093), (638119061, 76493),
+    (1163020627, 962897), (477218683, 274933),
 ]
-assert len(MINHASH_AB) == MINHASH_K and all(a < 1 << 20 for a, _ in MINHASH_AB)
+assert len(MINHASH_AB) == MINHASH_K
+assert all(0 < a < MINHASH_P and 0 <= b < MINHASH_P for a, b in MINHASH_AB)
 
 #: LSH buckets larger than this are emitted as cluster summaries instead of
 #: pairs — a bucket of B docs yields B(B-1)/2 pairs, so one 10^6-doc
@@ -226,9 +238,9 @@ def minhash_signatures(sh: DataFrame) -> DataFrame:
     aggregation and the shuffle moves O(docs) rows of K columns instead
     of O(docs × K) rows. The K permutations are universal-hash transforms
     of ONE md5 base hash (MINHASH_AB above), not K separate md5 passes."""
-    base = F.conv(F.substring(F.md5(F.col("shingle")), 1, 10), 16, 10).cast(
+    base = F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast(
         "bigint"
-    )
+    ) % F.lit(MINHASH_P)
     hashed = sh.select("doc_id", base.alias("hb"))
     mins = [
         F.min((F.lit(a) * F.col("hb") + F.lit(b)) % F.lit(MINHASH_P)).alias(
@@ -300,7 +312,8 @@ sh AS (
   FROM tok),
 seeds(seed, a, b) AS (VALUES {_SEED_VALUES}),
 based AS (
-  SELECT doc_id, (('0x' || substr(md5(shingle), 1, 10))::bigint) AS hb
+  SELECT doc_id,
+         (('0x' || substr(md5(shingle), 1, 8))::bigint) % {MINHASH_P} AS hb
   FROM sh),
 hashed AS (
   SELECT doc_id, seed, (a * hb + b) % {MINHASH_P} AS h

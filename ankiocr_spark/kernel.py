@@ -422,11 +422,13 @@ def detect_encoding(raw: bytes) -> str:
         import codecs
 
         try:
-            codecs.lookup(label)
             # HTML5 encoding sniffing: an ASCII-visible <meta> cannot occur
             # in genuine UTF-16, so a utf-16* label means the bytes are
-            # really 8-bit — the spec maps these labels to UTF-8
-            if label.startswith("utf-16") or label.startswith("utf_16"):
+            # really 8-bit — the spec maps these labels to UTF-8. Compare
+            # the CANONICAL codec name, not the raw label: the registry
+            # also accepts aliases like 'utf16'/'u16' that a prefix check
+            # on the label would miss (r3 review fix).
+            if codecs.lookup(label).name.startswith("utf-16"):
                 return "utf-8"
             return label
         except LookupError:

@@ -159,6 +159,17 @@ def pagerank(edges: DataFrame, nodes: DataFrame, iters: int = PR_ITERS) -> DataF
                 ).alias("rank"),
             )
         ).cache()
+    # materialize the final generation, then release every loop-scoped
+    # cache (r3 review fix: the driver session runs dozens of queries —
+    # leaked cached relations would pin executor storage for its lifetime;
+    # at the 10^12-edge design point `wedges` is the whole edge list).
+    # The one extra count() is the price of a bounded cache footprint:
+    # only the returned ranks stay cached.
+    ranks.count()
+    if prev is not None:
+        prev.unpersist()
+    wedges.unpersist()
+    sources.unpersist()
     return ranks
 
 
@@ -186,9 +197,10 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("dst"),
     ).cache()
-    return pagerank(edges, nodes).select(
-        "node", F.round("rank", 8).alias("pagerank")
-    )
+    ranks = pagerank(edges, nodes)  # returns MATERIALIZED cached ranks
+    nodes.unpersist()
+    edges.unpersist()
+    return ranks.select("node", F.round("rank", 8).alias("pagerank"))
 
 
 def _oracle_pagerank() -> str:
@@ -241,9 +253,10 @@ def q_outlinks_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .cache()
     )
-    return pagerank(edges, nodes).select(
-        "node", F.round("rank", 8).alias("pagerank")
-    )
+    ranks = pagerank(edges, nodes)  # returns MATERIALIZED cached ranks
+    edges.unpersist()
+    nodes.unpersist()
+    return ranks.select("node", F.round("rank", 8).alias("pagerank"))
 
 
 def _oracle_outlinks_pagerank() -> str:

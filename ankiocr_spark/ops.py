@@ -42,14 +42,26 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def wrap_html(text_col) -> "F.Column":
+    """The ONE definition of the page wrap as a binary column — every
+    fixture-building query (flagship, WARC dump, merge delta, streaming
+    dumps) must encode through here so the wrap template cannot drift from
+    the oracles generated off the same constants (r3 review fix)."""
+    return F.encode(
+        F.concat(F.lit(WRAP_PREFIX), text_col, F.lit(WRAP_SUFFIX)), "utf-8"
+    )
+
+
+def doc_url(doc_id_col) -> "F.Column":
+    return F.concat(F.lit(URL_PREFIX), doc_id_col.cast("string"))
+
+
 def docs_as_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents(doc_id, text, lang, ...) → pages(url, html BINARY, lang):
     the input_hint shape synthesized in-flight, deterministically."""
     return load(spark, sf_dir, "documents").select(
-        F.concat(F.lit(URL_PREFIX), F.col("doc_id").cast("string")).alias("url"),
-        F.encode(
-            F.concat(F.lit(WRAP_PREFIX), F.col("text"), F.lit(WRAP_SUFFIX)), "utf-8"
-        ).alias("html"),
+        doc_url(F.col("doc_id")).alias("url"),
+        wrap_html(F.col("text")).alias("html"),
         F.col("lang"),
     )
 

@@ -409,7 +409,7 @@ def q_stream_host_tracker(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import Window
 
-    from .ops import WRAP_PREFIX, WRAP_SUFFIX, load
+    from .ops import load, wrap_html
 
     base = tempfile.mkdtemp(prefix="stream_h_")
     in_dir = os.path.join(base, "in")
@@ -424,10 +424,7 @@ def q_stream_host_tracker(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(
                 "timestamp'2024-01-01 00:00:00' + doc_id * INTERVAL 1 MINUTE"
             ).alias("warc_ts"),
-            F.encode(
-                F.concat(F.lit(WRAP_PREFIX), F.col("text"), F.lit(WRAP_SUFFIX)),
-                "utf-8",
-            ).alias("html"),
+            wrap_html(F.col("text")).alias("html"),
             F.col("text"),
             F.col("lang"),
         )

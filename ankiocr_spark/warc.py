@@ -248,18 +248,15 @@ def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .config import ExtractConfig
     from .job import run_extract
-    from .ops import WRAP_PREFIX, WRAP_SUFFIX, URL_PREFIX, load
+    from .ops import docs_as_pages
 
     wrapped = (
-        load(spark, sf_dir, "documents")
-        .where(F.col("text").isNotNull())
+        docs_as_pages(spark, sf_dir)
+        .where(F.col("html").isNotNull())
         .select(
-            F.concat(F.lit(URL_PREFIX), F.col("doc_id").cast("string")).alias("url"),
+            "url",
             F.lit("2026-01-01T00:00:00Z").alias("warc_date"),
-            F.encode(
-                F.concat(F.lit(WRAP_PREFIX), F.col("text"), F.lit(WRAP_SUFFIX)),
-                "utf-8",
-            ).alias("html"),
+            "html",
         )
     )
     base = tempfile.mkdtemp(prefix="warc_q_")

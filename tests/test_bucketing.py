@@ -93,3 +93,26 @@ def test_merge_upsert_semantics_and_zero_exchange(spark, tmp_path):
         "u3": (None, "c"),        # null target value preserved, no delta
         "u4": ("new4", "d"),      # insert
     }
+
+
+def test_merge_upsert_rejects_duplicate_delta_keys(spark):
+    """MERGE semantics (r3 review): multiple delta matches for one target
+    row must error like Iceberg's runtime check, not silently fan out."""
+    from ankiocr_spark.bucketing import merge_upsert
+
+    target = spark.createDataFrame([("u1", "old")], "url string, v string")
+    delta = spark.createDataFrame(
+        [("u1", "a"), ("u1", "b")], "url string, v string"
+    )
+    write_bucketed(target, "m_t2", 2, "url")
+    write_bucketed(delta, "m_d2", 2, "url")
+    try:
+        with pytest.raises(ValueError, match="duplicate"):
+            merge_upsert(spark, "m_t2", "m_d2")
+        # opting out reproduces the raw fan-out join (documented escape)
+        assert merge_upsert(
+            spark, "m_t2", "m_d2", assert_unique_delta=False
+        ).count() == 2
+    finally:
+        spark.sql("DROP TABLE IF EXISTS m_t2")
+        spark.sql("DROP TABLE IF EXISTS m_d2")

@@ -39,3 +39,35 @@ def test_simhash_pairs_blocking_is_exact(spark, sf_dir):
     assert got == want and len(got) > 0
     # and the planted near-dup slice actually produces surfaced pairs
     assert any(b == a + 1000000 for a, b, _ in got)
+
+
+def test_minhash_permutations_are_independent(spark):
+    """Regression (r3 review): the universal-hash MinHash family must
+    actually wrap its modulus. An affine transform that never exceeds P is
+    order-preserving, so every signature coordinate becomes a monotone
+    function of min(base_hash) — all docs order identically under every
+    seed and all bands collapse to one (degenerate LSH that the oracle,
+    computing the same degenerate math, cannot catch). With a real family
+    the per-coordinate doc orderings must differ between seeds."""
+    from pyspark.sql import functions as F
+
+    from ankiocr_spark.datapipe.dedup import (
+        MINHASH_AB, MINHASH_K, MINHASH_P, minhash_signatures, shingles,
+    )
+
+    # wraps: A*h+B must exceed P for typical h, else order-preserving
+    assert all(a > MINHASH_P // (1 << 20) for a, _ in MINHASH_AB)
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}x{j}" for j in range(30))) for i in range(40)],
+        "doc_id long, text string",
+    )
+    sig = minhash_signatures(shingles(docs, distinct=False)).collect()
+    orderings = {
+        s: tuple(r["doc_id"] for r in sorted(sig, key=lambda r: r[f"m{s}"]))
+        for s in range(MINHASH_K)
+    }
+    assert len(set(orderings.values())) > 1, (
+        "all minhash coordinates induce the SAME doc ordering — the "
+        "permutation family is degenerate"
+    )

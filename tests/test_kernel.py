@@ -137,8 +137,9 @@ def test_charset_sniffing():
         assert "café résumé" in extracted
         assert "﻿" not in extracted
     # HTML5 prescan: an ASCII-visible meta utf-16 label is a lie (genuine
-    # UTF-16 can't contain it) — mapped to utf-8 per the spec
-    for label in ("utf-16", "utf-16le", "UTF-16BE"):
+    # UTF-16 can't contain it) — mapped to utf-8 per the spec; registry
+    # ALIASES (utf16, u16) must be caught too, via the canonical codec name
+    for label in ("utf-16", "utf-16le", "UTF-16BE", "utf16", "u16"):
         lied = (f'<meta charset="{label}">' + body).encode("utf-8")
         assert detect_encoding(lied) == "utf-8"
         assert "café résumé" in extract_main_text(lied)
