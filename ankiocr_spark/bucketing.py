@@ -85,8 +85,12 @@ def merge_upsert(
     upstream, e.g. by the streaming url-dedup ingest."""
     d_tbl = spark.table(delta_table)
     if assert_unique_delta:
+        # NULL keys can never match a target row (the join condition is
+        # null-rejecting), so multiple NULL-key delta rows cannot fan out —
+        # they all pass through as inserts, which MERGE accepts
         dups = (
-            d_tbl.groupBy(key).count().where(F.col("count") > 1).limit(1).count()
+            d_tbl.where(F.col(key).isNotNull())
+            .groupBy(key).count().where(F.col("count") > 1).limit(1).count()
         )
         if dups:
             raise ValueError(

@@ -15,8 +15,9 @@ All hashes are md5-derived (`conv(substr(md5(x),1,15),16,10)`) so the
 DuckDB oracle reproduces them exactly; xxhash64 would be faster JVM-side
 but is not available to the oracle. At production scale swap the md5 base
 for xxhash64 — the plan shape is identical. MinHash additionally uses the
-textbook one-base-hash + K universal affine transforms (mod 2^61−1)
-instead of K hash passes, so the largest stage hashes each shingle ONCE.
+textbook one-base-hash + K universal affine transforms (mod 2^31−1; see
+the MINHASH_P field-size rationale) instead of K hash passes, so the
+largest stage hashes each shingle ONCE.
 """
 
 from __future__ import annotations

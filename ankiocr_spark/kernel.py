@@ -423,12 +423,13 @@ def detect_encoding(raw: bytes) -> str:
 
         try:
             # HTML5 encoding sniffing: an ASCII-visible <meta> cannot occur
-            # in genuine UTF-16, so a utf-16* label means the bytes are
-            # really 8-bit — the spec maps these labels to UTF-8. Compare
+            # in genuine UTF-16/UTF-32, so such a label means the bytes are
+            # really 8-bit — the spec maps utf-16 labels to UTF-8 (and has
+            # no utf-32 label at all; same impossibility argument). Compare
             # the CANONICAL codec name, not the raw label: the registry
-            # also accepts aliases like 'utf16'/'u16' that a prefix check
-            # on the label would miss (r3 review fix).
-            if codecs.lookup(label).name.startswith("utf-16"):
+            # also accepts aliases like 'utf16'/'u16'/'u32' that a prefix
+            # check on the label would miss (r3 review fix).
+            if codecs.lookup(label).name.startswith(("utf-16", "utf-32")):
                 return "utf-8"
             return label
         except LookupError:

@@ -118,7 +118,12 @@ def pagerank(edges: DataFrame, nodes: DataFrame, iters: int = PR_ITERS) -> DataF
     shuffle on the same key, so a pre-bucketed edge table makes iterations
     exchange-free on the edge side (bucketing.py). The dangling-mass term
     is a one-scalar aggregate per iteration (an anti-join of ranks against
-    sources), broadcast back as a literal — O(1) driver traffic."""
+    sources), broadcast back as a literal — O(1) driver traffic.
+
+    Cache ownership: every loop-scoped cache is released before returning;
+    the RETURNED ranks DataFrame is the one relation left cached (it must
+    stay cheap to consume). Callers that invoke pagerank repeatedly in one
+    session should ``unpersist()`` the result when done with it."""
     from pyspark.sql import functions as F  # local alias for clarity
 
     n = nodes.count()

@@ -320,7 +320,7 @@ def q_evolve_keep_existing(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = docs_as_pages(spark, sf_dir)
     out = run_extract(spark, pages, ExtractConfig(salt_buckets=8))
     docs = load(spark, sf_dir, "documents").select(
-        F.concat(F.lit(URL_PREFIX), F.col("doc_id").cast("string")).alias("url"),
+        doc_url(F.col("doc_id")).alias("url"),
         F.when(
             F.col("doc_id") % 3 == 0,
             F.concat(F.lit("OLD:"), F.col("doc_id").cast("string")),

@@ -378,15 +378,12 @@ def q_pdf_extract(spark, sf_dir: str):
     stores raw PDFs next to raw HTML."""
     from pyspark.sql import functions as F
 
-    from .ops import URL_PREFIX
+    from .ops import doc_url
 
     docs = (
         spark.read.parquet(f"{sf_dir}/documents.parquet")
         .where(F.col("text").isNotNull())
-        .select(
-            F.concat(F.lit(URL_PREFIX), F.col("doc_id").cast("string")).alias("url"),
-            "text",
-        )
+        .select(doc_url(F.col("doc_id")).alias("url"), "text")
     )
     pdfs = docs.mapInPandas(_build_batches, PDF_SCHEMA)
     out = pdfs.mapInPandas(_extract_batches, PDF_OUT_SCHEMA)

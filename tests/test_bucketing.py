@@ -113,6 +113,14 @@ def test_merge_upsert_rejects_duplicate_delta_keys(spark):
         assert merge_upsert(
             spark, "m_t2", "m_d2", assert_unique_delta=False
         ).count() == 2
+        # NULL keys never match the join condition, so duplicate NULLs
+        # cannot fan out — the check must accept them (MERGE does)
+        nulls = spark.createDataFrame(
+            [(None, "x"), (None, "y")], "url string, v string"
+        )
+        write_bucketed(nulls, "m_d2n", 2, "url")
+        assert merge_upsert(spark, "m_t2", "m_d2n").count() == 3
     finally:
         spark.sql("DROP TABLE IF EXISTS m_t2")
         spark.sql("DROP TABLE IF EXISTS m_d2")
+        spark.sql("DROP TABLE IF EXISTS m_d2n")

@@ -139,7 +139,8 @@ def test_charset_sniffing():
     # HTML5 prescan: an ASCII-visible meta utf-16 label is a lie (genuine
     # UTF-16 can't contain it) — mapped to utf-8 per the spec; registry
     # ALIASES (utf16, u16) must be caught too, via the canonical codec name
-    for label in ("utf-16", "utf-16le", "UTF-16BE", "utf16", "u16"):
+    for label in ("utf-16", "utf-16le", "UTF-16BE", "utf16", "u16",
+                  "utf-32", "utf32", "u32"):
         lied = (f'<meta charset="{label}">' + body).encode("utf-8")
         assert detect_encoding(lied) == "utf-8"
         assert "café résumé" in extract_main_text(lied)
