@@ -47,10 +47,17 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange is shared."""
     ev = _load_events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # parquet lands ts as TIMESTAMP_NTZ; unix_micros wants TIMESTAMP —
-    # both sides of the gap get the same cast, so the diff is exact
-    tsc = F.col("ts").cast("timestamp")
-    gap_us = F.unix_micros(tsc) - F.unix_micros(F.lag(tsc).over(w))
+    # parquet lands ts as TIMESTAMP_NTZ; diff it WITHOUT a timezone:
+    # timestampdiff against the NTZ epoch gives wall-clock micros, exactly
+    # DuckDB's epoch_us(ntz). The previous cast-to-TIMESTAMP route read the
+    # wall time in the (unpinned) session zone, so a gap spanning a DST
+    # transition was off by the jump — verified 100 min wall → 40 min gap
+    # under America/New_York (r3 review fix; 'same cast on both sides'
+    # does NOT cancel across a discontinuity).
+    ep = F.expr(
+        "timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01 00:00:00', ts)"
+    )
+    gap_us = ep - F.lag(ep).over(w)
     with_breaks = ev.withColumn(
         "is_new",
         F.when(gap_us.isNull() | (gap_us > SESSION_GAP_SEC * 1_000_000), 1)

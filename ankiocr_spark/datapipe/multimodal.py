@@ -25,8 +25,6 @@ from pyspark.sql import functions as F
 
 FAKE_DECODE = True  # no real image/audio libs in this container
 
-FEATURE_DIM = 4
-
 
 def _docs_as_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → a media-shaped table: (media_id, payload BINARY, kind)."""
@@ -114,12 +112,14 @@ def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The decode/feature-extract path: Arrow-batched mapInPandas over the
-    binary payload, same partition/batch shape as the HTML kernel. The
+    binary payload, same MAP-ONLY shape as the HTML kernel (no pre-kernel
+    payload shuffle — the r3 review caught a hard-coded repartition(8)
+    that both shuffled every payload byte and capped the expensive decode
+    stage at 8 tasks regardless of cluster width; input splits parallelize
+    the scan naturally, exactly like job.run_extract's default path). The
     decode itself is a deterministic stub (FAKE_DECODE)."""
     media = _docs_as_media(spark, sf_dir)
-    return media.repartition(8, "media_id").mapInPandas(
-        _feature_batches, FEATURES_SCHEMA
-    )
+    return media.mapInPandas(_feature_batches, FEATURES_SCHEMA)
 
 
 # Full-value oracle for the fake decode (/root/reference/tests/test_ocr.py:46-60
@@ -214,7 +214,13 @@ FROM documents WHERE text IS NOT NULL
 
 FRAME_BYTES = 32   # fixed-size byte window = one "frame" of the fake codec
 SAMPLE_EVERY = 4   # keep every 4th frame
-MAX_FRAMES = 1024  # oracle-side series bound (payloads are far smaller)
+#: hard cap on frames read per payload — part of the OPERATOR CONTRACT,
+#: enforced on BOTH the Spark side and the oracle's series bound (r3
+#: review: the cap was oracle-only, so a corpus with a >32 KiB payload
+#: would have produced a false engine-mismatch). The bound is also the
+#: scale guard: one corrupt multi-GB "video" can emit at most MAX_FRAMES
+#: rows, not millions.
+MAX_FRAMES = 1024
 
 FRAMES_SCHEMA = "media_id long, frame_idx int, frame_bytes int, frame_md5 string"
 
@@ -228,7 +234,8 @@ def _frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             pdf["media_id"].tolist(), pdf["payload"].tolist()
         ):
             raw = bytes(payload)
-            for idx in range(0, -(-len(raw) // FRAME_BYTES), SAMPLE_EVERY):
+            n_frames = min(-(-len(raw) // FRAME_BYTES), MAX_FRAMES)
+            for idx in range(0, n_frames, SAMPLE_EVERY):
                 frame = raw[idx * FRAME_BYTES:(idx + 1) * FRAME_BYTES]
                 out.append((mid, idx, len(frame),
                             hashlib.md5(frame).hexdigest()))
@@ -259,8 +266,9 @@ WITH media AS (
     AND text IS NOT NULL),
 frames AS (
   -- DuckDB's generate_series takes only constants (no lateral column, no
-  -- subquery): use a fixed bound >> any payload (driver corpus max text
-  -- length is ~600 chars at every sf) and filter per row
+  -- subquery); MAX_FRAMES is the shared operator contract, enforced on
+  -- the Spark side too, so the series bound is exact — not a corpus
+  -- assumption
   SELECT media_id, idx AS frame_idx,
          substr(payload, (idx * {FRAME_BYTES} + 1)::int, {FRAME_BYTES}) AS frame
   FROM media, generate_series(0, {MAX_FRAMES - 1}) AS g(idx)

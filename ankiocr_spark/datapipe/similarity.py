@@ -38,6 +38,14 @@ def _dot(a, b):
     )
 
 
+def _cos(a, b) -> "F.Column":
+    """Cosine similarity rounded to 6 dp — the ONE definition every query
+    and the engine-parity contract share (the rounding grain is
+    load-bearing: it is what absorbs accumulation-order differences
+    between Spark and DuckDB)."""
+    return F.round(_dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b))), 6)
+
+
 N_QUERIES = 10   # vec_id < 10 are the query vectors
 TOP_K = 5
 COSINE_THRESHOLD = 0.45  # near-dup threshold (synthetic embeddings are
@@ -59,14 +67,7 @@ def q_ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = pairs.select(
         "query_id",
         "neighbor_id",
-        F.round(
-            _dot(F.col("q_emb"), F.col("n_emb"))
-            / (
-                F.sqrt(_dot(F.col("q_emb"), F.col("q_emb")))
-                * F.sqrt(_dot(F.col("n_emb"), F.col("n_emb")))
-            ),
-            6,
-        ).alias("cosine"),
+        _cos(F.col("q_emb"), F.col("n_emb")).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -132,11 +133,14 @@ def _sign_col(emb_col, weight_row) -> "F.Column":
     return s >= 0
 
 
-def srp_bucket_col(emb_col) -> "F.Column":
-    """8-bit sign-random-projection bucket of an embedding column, as a
-    single whole-stage-codegen expression over literal weight arrays."""
+def srp_bucket_col(emb_col, weights=None) -> "F.Column":
+    """Sign-random-projection bucket of an embedding column (one bit per
+    weight row), as a single whole-stage-codegen expression over literal
+    weight arrays. ``weights`` defaults to the 8-plane global family; the
+    banded near-dup path passes per-band slices so the sign-fold exists
+    exactly once (r3 review cleanup)."""
     acc = F.lit(0)
-    for j, row in enumerate(_srp_weights()):
+    for j, row in enumerate(weights if weights is not None else _srp_weights()):
         acc = acc + F.when(_sign_col(emb_col, row), F.lit(1 << j)).otherwise(F.lit(0))
     return acc.cast("int")
 
@@ -150,16 +154,7 @@ def neardup_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = emb.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb"))
     pairs = a.crossJoin(b).where(F.col("vec_a") < F.col("vec_b"))
     scored = pairs.select(
-        "vec_a",
-        "vec_b",
-        F.round(
-            _dot(F.col("ea"), F.col("eb"))
-            / (
-                F.sqrt(_dot(F.col("ea"), F.col("ea")))
-                * F.sqrt(_dot(F.col("eb"), F.col("eb")))
-            ),
-            6,
-        ).alias("cosine"),
+        "vec_a", "vec_b", _cos(F.col("ea"), F.col("eb")).alias("cosine")
     )
     return scored.where(F.col("cosine") >= COSINE_THRESHOLD)
 
@@ -167,61 +162,66 @@ def neardup_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: banded SRP-LSH for near-dup candidate generation: BANDS bands of
 #: BAND_BITS planes each (plane j = band*BAND_BITS + bit). A pair is a
 #: candidate iff ALL signs agree in ≥1 band. Recall/candidate-rate dial:
-#: more bits per band → fewer random collisions (rate 2^-bits per band on
-#: orthogonal data — size bits ~ log2(n) at scale), more bands → higher
-#: recall. 4×4 suits the synthetic corpus whose near-dups sit at cosine
-#: 0.45–0.6 (barely above the random cloud).
+#: per band the random-collision rate on near-orthogonal data is 2^-bits,
+#: so candidate pair volume is Θ(n²/2^bits) per band — BAND_BITS MUST grow
+#: with the corpus (~2·log2(n) bits to keep expected bucket sizes O(1));
+#: the 4×4 defaults fit the TEST corpus whose near-dups sit at cosine
+#: 0.45–0.6, and the driver oracle is generated for these defaults. More
+#: bands → higher recall at proportionally more candidate volume.
 NEARDUP_BANDS = 4
 NEARDUP_BAND_BITS = 4
 
 
-def q_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_neardup_cosine(
+    spark: SparkSession,
+    sf_dir: str,
+    bands: int = NEARDUP_BANDS,
+    band_bits: int = NEARDUP_BAND_BITS,
+) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, SCALE SHAPE (round-1 VERDICT
-    perf item): banded SRP-LSH equi-join generates candidate pairs, exact
-    cosine verifies them — no unguarded cartesian anywhere. Precision is
-    exact (every emitted pair is verified); recall is the LSH union over
-    bands. The oracle runs the SAME algorithm so the check is exact; the
-    brute-force form survives as ``neardup_cosine_bruteforce`` for the
-    precision/recall test.
-
-    At 10^9 vectors: band buckets are a pure projection, the candidate
-    join shuffles O(vectors × BANDS) rows on (band, bucket), per-bucket
-    pair work is bounded by collision rate × bucket size."""
+    perf item): banded SRP-LSH equi-join generates candidate id pairs,
+    exact cosine verifies them after re-joining the embeddings — no
+    unguarded cartesian, and the candidate join/dedup exchanges carry TWO
+    LONGS per row, not 2×64 doubles (r3 review fix). Precision is exact
+    (every emitted pair is verified); recall is the LSH union over bands.
+    The oracle runs the SAME algorithm at the default 4×4 so the check is
+    exact; callers at larger corpora MUST raise ``band_bits`` (see the
+    constant's sizing note — 4 bits = 16 buckets is a test-scale setting,
+    not a 10^9-vector one). ``neardup_cosine_bruteforce`` survives as the
+    precision/recall test oracle."""
     emb = _load_emb(spark, sf_dir)
-    ws = _srp_weights(NEARDUP_BANDS * NEARDUP_BAND_BITS)
-    band_structs = []
-    for band in range(NEARDUP_BANDS):
-        acc = F.lit(0)
-        for bit in range(NEARDUP_BAND_BITS):
-            row = ws[band * NEARDUP_BAND_BITS + bit]
-            acc = acc + F.when(
-                _sign_col(F.col("emb"), row), F.lit(1 << bit)
-            ).otherwise(F.lit(0))
-        band_structs.append(
-            F.struct(F.lit(band).alias("band"), acc.cast("int").alias("bucket"))
+    ws = _srp_weights(bands * band_bits)
+    band_structs = [
+        F.struct(
+            F.lit(band).alias("band"),
+            srp_bucket_col(
+                F.col("emb"), ws[band * band_bits:(band + 1) * band_bits]
+            ).alias("bucket"),
         )
+        for band in range(bands)
+    ]
     tagged = emb.select(
-        "vec_id", "emb", F.explode(F.array(*band_structs)).alias("bb")
-    ).select("vec_id", "emb", "bb.band", "bb.bucket")
-    a = tagged.select("band", "bucket", F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea"))
-    b = tagged.select("band", "bucket", F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb"))
-    cand = (
+        "vec_id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("vec_id", "bb.band", "bb.bucket")
+    a = tagged.select("band", "bucket", F.col("vec_id").alias("vec_a"))
+    b = tagged.select("band", "bucket", F.col("vec_id").alias("vec_b"))
+    cand_ids = (
         a.join(b, ["band", "bucket"])
         .where(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", "ea", "eb")
+        .select("vec_a", "vec_b")
         .dropDuplicates(["vec_a", "vec_b"])  # pair may collide in >1 band
     )
-    scored = cand.select(
-        "vec_a",
-        "vec_b",
-        F.round(
-            _dot(F.col("ea"), F.col("eb"))
-            / (
-                F.sqrt(_dot(F.col("ea"), F.col("ea")))
-                * F.sqrt(_dot(F.col("eb"), F.col("eb")))
-            ),
-            6,
-        ).alias("cosine"),
+    # verify stage: embeddings re-attached to the (small) surviving pair
+    # set via two equi-joins — the wide arrays never ride the candidate
+    # exchanges above
+    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb"))
+    scored = (
+        cand_ids.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select(
+            "vec_a", "vec_b", _cos(F.col("ea"), F.col("eb")).alias("cosine")
+        )
     )
     return scored.where(F.col("cosine") >= COSINE_THRESHOLD)
 
@@ -317,11 +317,6 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("vec_id") < CENTROID_LO + IVF_K)
         ).select(F.col("vec_id").alias("cent_id"), F.col("emb").alias("c_emb"))
     )
-
-    def _cos(a, b):
-        return F.round(
-            _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b))), 6
-        )
 
     scored = emb.crossJoin(cents).select(
         "vec_id", "emb", "cent_id", _cos(F.col("emb"), F.col("c_emb")).alias("cc")

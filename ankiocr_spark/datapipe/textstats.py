@@ -20,16 +20,33 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def marker_ratio_col(tokens) -> "F.Column":
+    """English function-word ratio over a token array — the ONE definition
+    shared by q_lang_id and the training-set capstone, so the gate cannot
+    drift from the component operator (r3 review cleanup)."""
+    markers = F.size(F.filter(tokens, lambda x: x.isin(*EN_MARKERS)))
+    return F.round(markers / F.size(tokens), 6)
+
+
+def quality_col(tokens) -> "F.Column":
+    """Composite quality score (length + lexical diversity) over a token
+    array — shared by q_quality_score and the training-set capstone."""
+    n_tokens = F.size(tokens)
+    distinct_ratio = F.size(F.array_distinct(tokens)) / n_tokens
+    return F.round(
+        0.4 * F.least(F.lit(1.0), n_tokens / F.lit(100.0))
+        + 0.6 * distinct_ratio,
+        6,
+    )
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language ID: ratio of English function-word tokens.
     (A real model would be a pandas UDF; the heuristic keeps this JVM-side
     and oracle-checkable — the plumbing is what transfers to 100 TB.)"""
     docs = _docs(spark, sf_dir)
     tokens = F.split("text", " ")
-    markers = F.size(
-        F.filter(tokens, lambda x: x.isin(*EN_MARKERS))
-    )
-    ratio = F.round(markers / F.size(tokens), 6)
+    ratio = marker_ratio_col(tokens)
     return docs.select(
         "doc_id",
         "lang",
@@ -60,14 +77,11 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens = F.split("text", " ")
     n_tokens = F.size(tokens)
     distinct_ratio = F.size(F.array_distinct(tokens)) / n_tokens
-    quality = F.round(
-        0.4 * F.least(F.lit(1.0), n_tokens / F.lit(100.0)) + 0.6 * distinct_ratio, 6
-    )
     return docs.select(
         "doc_id",
         n_tokens.alias("n_tokens"),
         F.round(distinct_ratio, 6).alias("distinct_ratio"),
-        quality.alias("quality"),
+        quality_col(tokens).alias("quality"),
     )
 
 
@@ -130,15 +144,10 @@ def q_training_set_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     extraction re-runs) reads from instead of the raw crawl."""
     docs = _docs(spark, sf_dir)
     tokens = F.split("text", " ")
-    markers = F.size(F.filter(tokens, lambda x: x.isin(*EN_MARKERS)))
-    lang_ok = F.round(markers / F.size(tokens), 6) >= LANG_RATIO_THRESHOLD
-    n_tokens = F.size(tokens)
-    quality = F.round(
-        0.4 * F.least(F.lit(1.0), n_tokens / F.lit(100.0))
-        + 0.6 * (F.size(F.array_distinct(tokens)) / n_tokens),
-        6,
-    )
-    gated = docs.where(lang_ok & (quality >= QUALITY_FLOOR)).select(
+    lang_ok = marker_ratio_col(tokens) >= LANG_RATIO_THRESHOLD
+    gated = docs.where(
+        lang_ok & (quality_col(tokens) >= QUALITY_FLOOR)
+    ).select(
         "doc_id", F.md5("text").alias("content_hash"), "lang", "n_chars"
     )
     keepers = gated.groupBy("content_hash").agg(

@@ -16,6 +16,10 @@ from pyspark.sql import SparkSession
 #: partition-local; Arrow batch size is set per-job from ExtractConfig.
 BASE_CONFS = {
     "spark.sql.adaptive.enabled": "true",
+    # timezone-independent semantics everywhere: crawl timestamps are
+    # wall/UTC times, and tz-dependent expressions (casts to TIMESTAMP,
+    # unix_* on NTZ) must not change answers with the host TZ
+    "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.sources.partitionOverwriteMode": "dynamic",
