@@ -155,14 +155,7 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_merge_upsert() -> str:
-    from .ops import H1_TEXT, URL_PREFIX
-
-    def extract(text_expr):
-        return (
-            f"CASE WHEN length(trim({text_expr})) >= 25 "
-            f"THEN '{H1_TEXT}' || chr(10) || trim({text_expr}) "
-            f"ELSE '{H1_TEXT}' END"
-        )
+    from .ops import URL_PREFIX, extract_case_sql as extract
 
     return f"""
 WITH t AS (

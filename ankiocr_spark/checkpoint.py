@@ -178,6 +178,16 @@ def resumable_extract(
     spark.conf.set(
         "spark.sql.execution.arrow.maxRecordsPerBatch", str(cfg.batch_rows)
     )
+    if cfg.max_split_mb:
+        # same split-sizing knobs as job.run_extract (r3 review: the
+        # checkpointed path silently ignored them)
+        spark.conf.set(
+            "spark.sql.files.maxPartitionBytes", str(cfg.max_split_mb << 20)
+        )
+        spark.conf.set(
+            "spark.sql.files.openCostInBytes",
+            str(max(1, cfg.max_split_mb // 4) << 20),
+        )
 
     all_buckets = list(range(cfg.salt_buckets))
     done = set(completed_buckets(spark, ledger_dir))
@@ -204,6 +214,13 @@ def resumable_extract(
         started = _dt.datetime.now()
         acc = spark.sparkContext.accumulator({}, _BucketStatsParam())
         subset = pages.where(F.col("bucket").isin(group))
+        if cfg.presalt_shuffle:
+            # salted spread for pathological unsplittable layouts (r3
+            # review: previously ignored here). Accumulator exactness
+            # holds: the repartition's MAP side carries no accumulator —
+            # the kernel runs in the RESULT stage after the exchange,
+            # whose successful-task updates Spark merges exactly once.
+            subset = subset.repartition(F.col("bucket"))
         result = subset.mapInPandas(
             _extract_batches_with_stats(acc, cfg.preserve_interword_spaces),
             EXTRACT_SCHEMA + ", bucket int",

@@ -121,18 +121,29 @@ class CancellableRun:
 
     def __call__(self, action):
         """Execute ``action()`` inside the job group; raise JobCancelled if
-        cancel() was requested (Spark surfaces the kill as a Py4J error)."""
+        cancel() was requested (Spark surfaces the kill as a Py4J error).
+
+        The flag is ALSO checked at entry and after a successful action:
+        ``cancelJobGroup`` only kills jobs that are already active, so a
+        cancel() landing before the action submits its first Spark job (or
+        between jobs) would otherwise silently no-op and the run would
+        complete despite the request (r3 review fix)."""
+        if self._cancelled.is_set():
+            raise JobCancelled(self.group_id)
         sc = self.spark.sparkContext
         sc.setJobGroup(self.group_id, self.description,
                        interruptOnCancel=True)
         try:
-            return action()
+            result = action()
         except Exception as exc:
             if self._cancelled.is_set():
                 raise JobCancelled(self.group_id) from exc
             raise
         finally:
             sc.setJobGroup("", "")
+        if self._cancelled.is_set():
+            raise JobCancelled(self.group_id)
+        return result
 
     def cancel(self) -> None:
         self._cancelled.set()

@@ -64,13 +64,33 @@ def drop_extracted_column(documents: DataFrame) -> DataFrame:
 
 
 def remove_extracts_for_urls(
-    documents: DataFrame, urls: Optional[List[str]] = None
+    documents: DataFrame, urls=None
 ) -> DataFrame:
     """UPDATE ... SET extracted_text = NULL WHERE url IN (...) — the
     row-level inverse (remove_ocr_on_notes, ocr.py:263-273). ``urls=None``
-    clears every row (full inverse)."""
+    clears every row (full inverse); a small ``list`` inlines as an
+    IN-list; a ``DataFrame`` of urls marks rows via a broadcast join —
+    the only form that scales (r3 review: a 10^6-url Python list becomes
+    10^6 literal children in the Catalyst expression tree, blowing up
+    driver-side plan construction long before executor work starts)."""
     if EXTRACT_COL not in documents.columns:
         return documents
+    if isinstance(urls, DataFrame):
+        marked = (
+            urls.select(F.col(urls.columns[0]).alias("url"))
+            .distinct()
+            .withColumn("__rm", F.lit(True))
+        )
+        return (
+            documents.join(F.broadcast(marked), "url", "left")
+            .withColumn(
+                EXTRACT_COL,
+                F.when(F.col("__rm"), F.lit(None).cast("string")).otherwise(
+                    F.col(EXTRACT_COL)
+                ),
+            )
+            .drop("__rm")
+        )
     cond = F.lit(True) if urls is None else F.col("url").isin(urls)
     return documents.withColumn(
         EXTRACT_COL,

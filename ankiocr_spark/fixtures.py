@@ -147,7 +147,15 @@ def gen_rows(
                "lang": lang, "expected_text": expected}
 
 
-PAGES_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
+# ONE canonical definition of the input_hint schema (sources.PAGES_SCHEMA,
+# a StructType); the DDL form here is derived from it so the two cannot
+# drift (r3 review fix — a schema change in sources.py previously left
+# fixtures silently generating the old shape)
+from .sources import PAGES_SCHEMA as _PAGES_STRUCT  # noqa: E402
+
+PAGES_SCHEMA = ", ".join(
+    f"{f.name} {f.dataType.simpleString()}" for f in _PAGES_STRUCT.fields
+)
 GOLDEN_SCHEMA = "url string, expected_text string"
 
 

@@ -74,14 +74,26 @@ def q_flagship_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("url", "extracted_text").orderBy("url")
 
 
+def extract_case_sql(text_expr: str = "text") -> str:
+    """The kernel's closed form on a wrapped page as one shared SQL CASE,
+    NULL-SAFE: NULL text wraps to NULL html, which the kernel quarantines
+    with extracted_text = NULL (r3 review fix — the previous per-site CASE
+    copies fell through to the ELSE branch on NULL, emitting the H1; latent
+    only because no shipped sf table has NULL text)."""
+    return (
+        f"CASE WHEN {text_expr} IS NULL THEN NULL "
+        f"WHEN length(trim({text_expr})) >= 25 "
+        f"THEN '{H1_TEXT}' || chr(10) || trim({text_expr}) "
+        f"ELSE '{H1_TEXT}' END"
+    )
+
+
 #: kernel spec on the wrapped page: nav/script/style/footer pruned, link-farm
 #: dropped by link density, h1 + body paragraph kept (paragraph only if it
 #: clears MIN_TEXT_CHARS=25).
 ORACLE_FLAGSHIP = f"""
 SELECT '{URL_PREFIX}' || doc_id AS url,
-       CASE WHEN length(trim(text)) >= 25
-            THEN '{H1_TEXT}' || chr(10) || trim(text)
-            ELSE '{H1_TEXT}' END AS extracted_text
+       {extract_case_sql()} AS extracted_text
 FROM documents ORDER BY url
 """
 
@@ -333,9 +345,7 @@ def q_evolve_keep_existing(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_EVOLVE_KEEP = f"""
 SELECT '{URL_PREFIX}' || doc_id AS url,
        coalesce(CASE WHEN doc_id % 3 = 0 THEN 'OLD:' || doc_id END,
-                CASE WHEN length(trim(text)) >= 25
-                     THEN '{H1_TEXT}' || chr(10) || trim(text)
-                     ELSE '{H1_TEXT}' END) AS extracted_text
+                {extract_case_sql()}) AS extracted_text
 FROM documents
 """
 
@@ -355,9 +365,7 @@ def q_extract_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_EXTRACT_PASSTHROUGH = f"""
 SELECT '{URL_PREFIX}' || doc_id AS url,
-       CASE WHEN length(trim(text)) >= 25
-            THEN '{H1_TEXT}' || chr(10) || trim(text)
-            ELSE '{H1_TEXT}' END AS extracted_text,
+       {extract_case_sql()} AS extracted_text,
        lang
 FROM documents
 """
@@ -516,11 +524,11 @@ ORACLE_SQL = {
         "FROM documents GROUP BY lang"
     ),
     "filter_empty": (
+        # WHERE text IS NOT NULL: null docs quarantine with NULL
+        # extracted_text, which the Spark side's != '' filter drops
         f"SELECT '{URL_PREFIX}' || doc_id AS url, "
-        f"length(CASE WHEN length(trim(text)) >= 25 "
-        f"       THEN '{H1_TEXT}' || chr(10) || trim(text) "
-        f"       ELSE '{H1_TEXT}' END) AS extract_len "
-        "FROM documents"
+        f"length({extract_case_sql()}) AS extract_len "
+        "FROM documents WHERE text IS NOT NULL"
     ),
     "schema_evolution_add": (
         f"SELECT doc_id, lang, '{H1_TEXT}' || chr(10) || trim(text) AS extracted_text "
@@ -540,9 +548,7 @@ ORACLE_SQL = {
     "remove_extracts": (
         f"SELECT '{URL_PREFIX}' || doc_id AS url, "
         f"CASE WHEN doc_id % 7 = 0 THEN NULL "
-        f"     WHEN length(trim(text)) >= 25 "
-        f"     THEN '{H1_TEXT}' || chr(10) || trim(text) "
-        f"     ELSE '{H1_TEXT}' END AS extracted_text "
+        f"     ELSE {extract_case_sql()} END AS extracted_text "
         "FROM documents"
     ),
     "run_metrics": (

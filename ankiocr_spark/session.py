@@ -103,8 +103,13 @@ def get_spark(
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:
-        n = "".join(c for c in master if c.isdigit()) or "32"
-        shuffle_partitions = max(int(n), 8)
+        # first bracketed number only: 'local[4,2]' means 4 threads with 2
+        # task retries (concatenating every digit would read 42), and
+        # 'local-cluster[2,1,1024]' would read 211024
+        import re as _re
+
+        m = _re.search(r"\[(\d+)", master)
+        shuffle_partitions = max(int(m.group(1)) if m else 32, 8)
     builder = SparkSession.builder.appName(app_name).master(master)
     confs = dict(BASE_CONFS)
     confs["spark.sql.shuffle.partitions"] = str(shuffle_partitions)

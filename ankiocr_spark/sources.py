@@ -28,11 +28,17 @@ PAGES_SCHEMA = T.StructType([
     T.StructField("lang", T.StringType(), True),
 ])
 
-#: permissive schema for text formats: everything lands as string first
+#: permissive schema for text formats: everything lands as string first.
+#: BOTH html spellings are read — ``html_b64`` (base64, binary-safe) and
+#: plain-string ``html`` (r3 review fix: the schema previously omitted
+#: ``html``, so a JSONL delivery carrying raw HTML under that key landed
+#: every row as html=NULL — silent total data loss at ingest, with the
+#: extract job then quarantining 100% of rows as 'null_html').
 _TEXT_SCHEMA = T.StructType([
     T.StructField("url", T.StringType(), False),
     T.StructField("warc_ts", T.StringType(), True),
     T.StructField("html_b64", T.StringType(), True),
+    T.StructField("html", T.StringType(), True),
     T.StructField("text", T.StringType(), True),
     T.StructField("lang", T.StringType(), True),
 ])
@@ -41,14 +47,16 @@ _TEXT_SCHEMA = T.StructType([
 def _coerce(df: DataFrame) -> DataFrame:
     """Project any raw source DataFrame onto the canonical pages schema."""
     cols = set(df.columns)
+    candidates = []
     if "html" in cols and dict(df.dtypes)["html"] == "binary":
-        html = F.col("html")
-    elif "html_b64" in cols:
-        html = F.unbase64("html_b64")
-    elif "html" in cols:  # string html from a text format
-        html = F.encode(F.col("html"), "utf-8")
-    else:
-        html = F.lit(None).cast("binary")
+        candidates.append(F.col("html"))
+    if "html_b64" in cols:
+        candidates.append(F.unbase64("html_b64"))
+    if "html" in cols and dict(df.dtypes)["html"] != "binary":
+        candidates.append(F.encode(F.col("html"), "utf-8"))
+    # per-row precedence when a delivery mixes spellings: binary > base64 >
+    # plain string; a row using only one spelling takes that one
+    html = F.coalesce(*candidates) if candidates else F.lit(None).cast("binary")
     ts = (
         F.col("warc_ts").cast("timestamp")
         if "warc_ts" in cols

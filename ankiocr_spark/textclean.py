@@ -31,6 +31,13 @@ def clean_text(text: str) -> str:
 # Spark-SQL-expressible equivalent (used by oracle checks; see ops.py).
 # Kept here so the Python and SQL forms live side by side and drift is caught
 # by tests/test_textclean.py::test_sql_form_matches.
+#
+# CONTRACT (r3 review): equivalent to clean_text only on text whose line
+# breaks are '\n' and whose intra-line whitespace is plain spaces — i.e.
+# kernel-normalized block text, the only thing the engine feeds it. On raw
+# text they diverge: Python splitlines() also breaks on \r/\x0b/  and
+# str.strip() eats tabs, while SQL split('\n')/trim() do not. Do NOT apply
+# the SQL form to un-normalized text.
 CLEAN_TEXT_SQL_TEMPLATE = (
     "regexp_replace("
     "  array_join(filter(transform(split({col}, '\\n'), x -> trim(x)), x -> x != ''), '\\n'),"

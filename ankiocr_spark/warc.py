@@ -267,13 +267,11 @@ def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_warc_extract() -> str:
-    from .ops import H1_TEXT, URL_PREFIX
+    from .ops import URL_PREFIX, extract_case_sql
 
     return f"""
 SELECT '{URL_PREFIX}' || doc_id AS url,
-       CASE WHEN length(trim(text)) >= 25
-            THEN '{H1_TEXT}' || chr(10) || trim(text)
-            ELSE '{H1_TEXT}' END AS extracted_text
+       {extract_case_sql()} AS extracted_text
 FROM documents WHERE text IS NOT NULL
 """
 

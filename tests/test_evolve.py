@@ -72,6 +72,13 @@ def test_remove_for_urls(spark, docs_and_extracts):
     # full inverse
     all_cleared = remove_extracts_for_urls(evolved, None)
     assert all_cleared.where(F.col("extracted_text").isNotNull()).count() == 0
+    # DataFrame form (the scalable broadcast-join path, r3 review): same
+    # result as the IN-list, no giant literal expression tree
+    urls_df = spark.createDataFrame([(u,) for u in some_urls], "url string")
+    cleared_df = remove_extracts_for_urls(evolved, urls_df)
+    a = sorted(map(tuple, cleared.select("url", "extracted_text").collect()))
+    b = sorted(map(tuple, cleared_df.select("url", "extracted_text").collect()))
+    assert a == b
 
 
 def test_evolve_devolve_jobs(spark, tmp_path, docs_and_extracts):

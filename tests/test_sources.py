@@ -75,3 +75,23 @@ def test_csv_source_extracts_identically_to_parquet(spark, tmp_path):
     for url, text in via_pq.items():
         if text is not None:
             assert via_csv[url] == text, url
+
+
+def test_json_plain_string_html(spark, tmp_path):
+    """Regression (r3 review): a JSONL delivery carrying raw HTML under a
+    plain-string 'html' key previously landed EVERY row html=NULL (the
+    fixed text schema omitted the field, so the string branch was dead) —
+    silent total data loss at ingest. Both spellings must land, with
+    per-row precedence base64 > plain when a delivery mixes them."""
+    jl = tmp_path / "plain.jsonl"
+    with open(jl, "w") as f:
+        f.write(json.dumps({"url": "u1", "html": "<p>plain html</p>"}) + "\n")
+        f.write(json.dumps({
+            "url": "u2",
+            "html": "<p>loser</p>",
+            "html_b64": base64.b64encode(b"<p>winner</p>").decode(),
+        }) + "\n")
+    got = {r["url"]: bytes(r["html"])
+           for r in read_pages(spark, str(jl), "json").collect()}
+    assert got["u1"] == b"<p>plain html</p>"
+    assert got["u2"] == b"<p>winner</p>"
