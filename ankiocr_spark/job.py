@@ -102,9 +102,6 @@ def make_spans_batches(preserve_spaces: bool = False):
     return fn
 
 
-_spans_batches = make_spans_batches()
-
-
 def salted(df: DataFrame, buckets: int) -> DataFrame:
     """Attach the salt/bucket column and hash-repartition on it.
 
@@ -128,6 +125,13 @@ def run_extract(
     Keeps only (url, html) in the kernel input projection — Arrow
     serialization of the binary payload dominates I/O (SURVEY.md §4), so
     nothing else crosses the Python boundary.
+
+    Conf caveat: the Arrow-batch/split-sizing knobs are SESSION-level and
+    read at ACTION time, not captured into this lazy plan — building two
+    plans with different ``max_split_mb`` then executing the first runs it
+    under the second's setting. One config per session-batch of jobs is
+    the supported pattern (the spark-submit entry and the driver harness
+    both do exactly that).
     """
     cfg = cfg or ExtractConfig()
     spark.conf.set(
@@ -170,7 +174,11 @@ def run_extract(
         out = part.mapInPandas(
             make_extract_batches(cfg.preserve_interword_spaces, extras), schema
         )
-    # re-attach the bucket for partitioned writes without recomputing the hash
+    # attach the bucket for partitioned writes. The hash IS computed here
+    # (again, when presalt_shuffle dropped it at the projection above) —
+    # xxhash64 over the short url is noise next to the kernel; carrying
+    # the int through the kernel's Arrow batch instead would widen the
+    # Python-boundary transfer for every row to save it
     return out.withColumn(
         "bucket", F.pmod(F.xxhash64(F.col("url")), F.lit(cfg.salt_buckets)).cast("int")
     )
@@ -192,6 +200,13 @@ def extract_job(
     from .errors import preflight
 
     cfg = cfg or ExtractConfig()
+    # pin dynamic overwrite HERE, not just in session.py: on an
+    # externally-built vanilla session the static default would make the
+    # partitioned overwrite below truncate the ENTIRE output dir, so a
+    # narrowed re-run (subset of buckets, tighter lang_filter) silently
+    # deletes every other bucket's output (r3 review; checkpoint.py
+    # already guards its own write the same way)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     pages = spark.read.parquet(input_path)
     preflight(spark, pages)  # fail fast before any executor work
     result = run_extract(spark, pages, cfg)

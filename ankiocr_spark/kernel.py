@@ -443,7 +443,11 @@ def _decode(html) -> str:
         if len(raw) > MAX_HTML_BYTES:
             raw = raw[:MAX_HTML_BYTES]
         return raw.decode(detect_encoding(raw), errors="replace")
-    return str(html)
+    # string payloads get the SAME cap (in chars — same order of bound):
+    # a multi-hundred-MB str previously bypassed the truncation guard and
+    # could stall the worker the guard exists to protect (r3 review fix)
+    s = str(html)
+    return s[:MAX_HTML_BYTES] if len(s) > MAX_HTML_BYTES else s
 
 
 def extract_spans(
@@ -504,7 +508,13 @@ def extract_record(url: Optional[str], html, preserve_spaces: bool = False) -> d
     if html is None:
         return {"url": url, "extracted_text": None, "n_blocks": 0, "n_chars": 0, "error": "null_html"}
     try:
-        truncated = isinstance(html, (bytes, bytearray, memoryview)) and len(html) > MAX_HTML_BYTES
+        # bytes measured in bytes, str in chars — both routes through
+        # _decode's cap, both flagged (r3 review: str payloads previously
+        # parsed unbounded and unflagged)
+        truncated = (
+            isinstance(html, (bytes, bytearray, memoryview, str))
+            and len(html) > MAX_HTML_BYTES
+        )
         blocks = extract_spans(html, preserve_spaces=preserve_spaces)
         kept = [b for b in blocks if b.kept]
         text = clean_text("\n".join(b.text for b in kept))

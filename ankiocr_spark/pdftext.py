@@ -273,9 +273,14 @@ LEFT_X, RIGHT_X = 72, 320  # columns 0 and 1 (306 pt boundary)
 
 
 def _esc(s: str) -> bytes:
+    # STRICT latin-1 (r3 review): this builder writes the uncompressed
+    # latin-1 PDF subset; errors='replace' silently corrupted any
+    # non-latin-1 char to '?' — text outside the subset must RAISE so the
+    # per-doc build path quarantines it honestly (the same policy as
+    # compressed streams in the reader)
     return (
         s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
-    ).encode("latin-1", errors="replace")
+    ).encode("latin-1")
 
 
 def build_pdf(title: str, left_lines: List[str], right_lines: List[str]) -> bytes:
@@ -326,6 +331,13 @@ def build_pdf(title: str, left_lines: List[str], right_lines: List[str]) -> byte
     return bytes(out)
 
 
+#: page-shape contract shared with the oracle's series bound: a driver-query
+#: page carries at most this many body lines (r3 review: the cap was
+#: oracle-only, so a >5000-word document would have produced a false
+#: engine-mismatch; real deployments paginate instead of truncating)
+MAX_DOC_LINES = 1000
+
+
 def wrap_lines(text: str, words_per_line: int = WORDS_PER_LINE) -> List[str]:
     words = [w for w in text.split(" ") if w]
     return [
@@ -336,9 +348,10 @@ def wrap_lines(text: str, words_per_line: int = WORDS_PER_LINE) -> List[str]:
 
 def build_doc_pdf(text: str) -> bytes:
     """The driver-query page shape: title + body wrapped at WORDS_PER_LINE
-    words, first ceil(k/2) lines in the left column, rest in the right —
-    so layout-ordered extraction reproduces the lines in original order."""
-    lines = wrap_lines(text.strip())
+    words (capped at MAX_DOC_LINES), first ceil(k/2) lines in the left
+    column, rest in the right — so layout-ordered extraction reproduces
+    the lines in original order."""
+    lines = wrap_lines(text.strip())[:MAX_DOC_LINES]
     half = (len(lines) + 1) // 2
     return build_pdf(PDF_TITLE, lines[:half], lines[half:])
 
@@ -355,10 +368,16 @@ PDF_OUT_SCHEMA = "url string, extracted_text string, n_spans int, error string"
 def _build_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
     import pandas as pd
 
+    def _build(t):
+        try:
+            return build_doc_pdf(t)
+        except UnicodeEncodeError:
+            return None  # non-latin-1 text: quarantined, never corrupted
+
     for pdf_batch in batches:
         yield pd.DataFrame({
             "url": pdf_batch["url"],
-            "pdf": [build_doc_pdf(t) for t in pdf_batch["text"].tolist()],
+            "pdf": [_build(t) for t in pdf_batch["text"].tolist()],
         })
 
 
@@ -393,23 +412,34 @@ def q_pdf_extract(spark, sf_dir: str):
 def _oracle_pdf_extract() -> str:
     from .ops import URL_PREFIX
 
+    # r3 review fixes baked into the closed form: (a) the line cap is the
+    # SHARED MAX_DOC_LINES contract, not an oracle-only bound; (b) the
+    # engine's clean_text collapses ':+' runs, so the oracle does too
+    # (global flag — DuckDB defaults to first-match); (c) non-latin-1 text
+    # (any char above U+00FF) is quarantined by the strict builder →
+    # extracted_text NULL on both sides.
     return f"""
 WITH w AS (
-  SELECT doc_id, list_filter(str_split(trim(text), ' '), x -> x <> '') AS words
+  SELECT doc_id, text,
+         list_filter(str_split(trim(text), ' '), x -> x <> '') AS words
   FROM documents WHERE text IS NOT NULL),
 lines AS (
   SELECT doc_id, i,
          array_to_string(
              list_slice(words, (i * {WORDS_PER_LINE} + 1)::int,
                         (i * {WORDS_PER_LINE} + {WORDS_PER_LINE})::int), ' ') AS line
-  FROM w, generate_series(0, 999) AS g(i)
+  FROM w, generate_series(0, {MAX_DOC_LINES - 1}) AS g(i)
   WHERE i * {WORDS_PER_LINE} < len(words)),
 body AS (
   SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS body_text
   FROM lines GROUP BY doc_id)
 SELECT '{URL_PREFIX}' || w.doc_id AS url,
-       CASE WHEN body.body_text IS NULL THEN '{PDF_TITLE}'
-            ELSE '{PDF_TITLE}' || chr(10) || body.body_text END AS extracted_text
+       CASE WHEN regexp_matches(w.text, '[\\x{{100}}-\\x{{10FFFF}}]') THEN NULL
+            WHEN body.body_text IS NULL
+            THEN '{PDF_TITLE}'
+            ELSE regexp_replace(
+                '{PDF_TITLE}' || chr(10) || body.body_text, ':+', ':', 'g')
+            END AS extracted_text
 FROM w LEFT JOIN body USING (doc_id)
 """
 

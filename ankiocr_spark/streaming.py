@@ -35,7 +35,7 @@ from pyspark.sql.streaming import StreamingQuery
 
 from .config import ExtractConfig
 from .fixtures import PAGES_SCHEMA
-from .job import _extract_batches, EXTRACT_SCHEMA
+from .job import EXTRACT_SCHEMA
 from .ops import ORACLE_FLAGSHIP, docs_as_pages
 
 
@@ -56,9 +56,26 @@ def stream_extract_plan(pages: DataFrame, cfg: Optional[ExtractConfig] = None) -
     batch job; the salt bucket is computed post-kernel for the partitioned
     sink (a pre-kernel repartition would force a stateless shuffle per
     micro-batch for no balance win — micro-batch file splits already bound
-    task size via maxFilesPerTrigger)."""
+    task size via maxFilesPerTrigger).
+
+    Honors the SAME ExtractConfig semantics as the batch job (r3 review:
+    preserve_interword_spaces and lang_filter were silently ignored,
+    breaking the batch/stream parity the module promises); the knobs with
+    no streaming analog raise instead of silently doing nothing."""
+    from .job import make_extract_batches
+
     cfg = cfg or ExtractConfig()
-    out = pages.select("url", "html").mapInPandas(_extract_batches, EXTRACT_SCHEMA)
+    if cfg.output_mode == "spans" or cfg.extra_passthrough_cols:
+        raise ValueError(
+            "streaming extraction supports output_mode='text_column' with "
+            "no extra_passthrough_cols — use the batch extract_job for "
+            "those modes"
+        )
+    if cfg.lang_filter:
+        pages = pages.where(F.col("lang").isin(cfg.lang_filter))
+    out = pages.select("url", "html").mapInPandas(
+        make_extract_batches(cfg.preserve_interword_spaces), EXTRACT_SCHEMA
+    )
     return out.withColumn(
         "bucket",
         F.pmod(F.xxhash64(F.col("url")), F.lit(cfg.salt_buckets)).cast("int"),
@@ -214,9 +231,13 @@ def _host_tracker(key, pdf_iter, state):
         n_pages += len(pdf)
         n_bytes += int(pdf["n_bytes"].sum())
         ts = pdf["warc_ts"].max()
-        if ts is not None:
+        # pd.notna, NOT `is not None`: an all-null batch yields NaT, which
+        # would poison the host's last_ts state forever (NaT comparisons
+        # are always False, so no later real timestamp could replace it —
+        # r3 review, reproduced)
+        if pd.notna(ts):
             ts = pd.Timestamp(ts).to_pydatetime()
-            if last_ts is None or ts > last_ts:
+            if last_ts is None or pd.isna(last_ts) or ts > last_ts:
                 last_ts = ts
     state.update((n_pages, n_bytes, last_ts))
     yield pd.DataFrame([{
