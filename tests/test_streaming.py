@@ -260,3 +260,51 @@ def test_stream_host_tracker_state_across_triggers(spark, tmp_path):
     assert latest, "cumulative state row missing"
     assert latest[0]["n_bytes"] == 70
     assert latest[0]["last_ts"] == D3
+
+
+def test_stream_honors_extract_config(spark, tmp_path):
+    """Batch/stream config parity (r3 review: preserve_interword_spaces and
+    lang_filter were silently ignored by the streaming plan): a stream run
+    with both knobs set must equal the batch extract_job under the same
+    ExtractConfig, and unsupported knobs must raise, not no-op."""
+    import pytest as _pytest
+
+    from ankiocr_spark.job import extract_job
+    from ankiocr_spark.streaming import stream_extract_plan
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    table = pa.table({
+        "url": pa.array(["https://p/en", "https://p/de", "https://p/sp"]),
+        "warc_ts": pa.array([None] * 3, pa.timestamp("us")),
+        "html": pa.array([
+            b"<p>english page body long enough to keep here</p>",
+            b"<p>german page body long enough to keep here ok</p>",
+            b"<p>spaced   page   body long enough to keep here</p>",
+        ], pa.binary()),
+        "text": pa.array([None] * 3, pa.string()),
+        "lang": pa.array(["eng", "deu", "eng"], pa.string()),
+    })
+    pq.write_table(table, os.path.join(in_dir, "d.parquet"))
+
+    cfg = ExtractConfig(
+        salt_buckets=4, batch_rows=16,
+        lang_filter=["eng"], preserve_interword_spaces=True,
+    )
+    out_s, ckpt = str(tmp_path / "outs"), str(tmp_path / "ckpt")
+    run_stream_extract_available_now(spark, in_dir, out_s, ckpt, cfg)
+    stream = _read_extracts(spark, out_s)
+    out_b = str(tmp_path / "outb")
+    extract_job(spark, in_dir, out_b, cfg)
+    batch = _read_extracts(spark, out_b)
+    assert stream == batch
+    assert set(stream) == {"https://p/en", "https://p/sp"}  # lang pushed
+    assert "spaced   page   body" in stream["https://p/sp"]  # spaces kept
+
+    with _pytest.raises(ValueError, match="streaming extraction"):
+        stream_extract_plan(
+            spark.readStream.schema(
+                "url string, warc_ts timestamp, html binary, text string, lang string"
+            ).parquet(in_dir),
+            ExtractConfig(output_mode="spans"),
+        )
