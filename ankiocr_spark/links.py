@@ -299,13 +299,128 @@ SELECT node, round(rank, 8) AS pagerank FROM r{PR_ITERS}
 """
 
 
+# ---------------------------------------------------------------------------
+# URL canonicalization — the crawl-frontier dedup key
+# ---------------------------------------------------------------------------
+
+#: scheme → default port, dropped during normalization
+_DEFAULT_PORTS = {"http": "80", "https": "443"}
+
+
+def normalize_url_col(u) -> "F.Column":
+    """Canonical URL as a pure codegen expression — no UDF, no shuffle:
+    lowercase scheme and host, strip the fragment, drop scheme-default
+    ports (http:80 / https:443), default an empty path to '/', and sort
+    query parameters (so ?b=2&a=1 and ?a=1&b=2 collide). This is the key
+    every crawl frontier and re-crawl MERGE dedups on; at 10^12 urls it
+    runs inside the scan's whole-stage codegen. Path dot-segment
+    resolution is deliberately NOT done here — '..' semantics belong to
+    fetch-time resolution (urljoin in extract_links), not to the dedup
+    key."""
+    from pyspark.sql import functions as F
+
+    nofrag = F.split(u, "#", 2).getItem(0)
+    scheme = F.lower(F.regexp_extract(nofrag, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+    hostport = F.regexp_extract(nofrag, r"^[^:/?#]+://([^/?#]*)", 1)
+    host = F.lower(F.split(hostport, ":", 2).getItem(0))
+    port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
+    default_port = F.when(
+        scheme == "http", F.lit(_DEFAULT_PORTS["http"])
+    ).when(scheme == "https", F.lit(_DEFAULT_PORTS["https"])).otherwise(F.lit(""))
+    port_part = F.when(
+        (port == "") | (port == default_port), F.lit("")
+    ).otherwise(F.concat(F.lit(":"), port))
+    path = F.regexp_extract(nofrag, r"^[^:/?#]+://[^/?#]*([^?#]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(nofrag, r"\?([^#]*)", 1)
+    query_part = F.when(query == "", F.lit("")).otherwise(
+        F.concat(F.lit("?"), F.array_join(F.array_sort(F.split(query, "&")), "&"))
+    )
+    return F.concat(scheme, F.lit("://"), host, port_part, path, query_part)
+
+
+def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalize a deterministic adversarial URL per document (upper-case
+    schemes/hosts, default and non-default ports, fragments, unsorted query
+    params — one shape per doc_id % 5) and return (doc_id, raw_url, url).
+    The synthesis and the normalization are both closed-form, so the
+    DuckDB oracle replicates the whole thing value-for-value."""
+    from pyspark.sql import functions as F
+
+    from .ops import load
+
+    d = F.col("doc_id").cast("string")
+    raw = (
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.lit("HTTP://Example.ORG:80/a/b?z="), d, F.lit("&a=2#frag")))
+        .when(F.col("doc_id") % 5 == 1,
+              F.concat(F.lit("https://WWW.Example.org:8080/path?q="), d))
+        .when(F.col("doc_id") % 5 == 2,
+              F.concat(F.lit("HTTPS://site.example.com:443/x/"), d))
+        .when(F.col("doc_id") % 5 == 3,
+              F.concat(F.lit("http://example.com#sec"), d))
+        .otherwise(
+            F.concat(F.lit("https://example.net/p?b="), d, F.lit("&a=1&c=3")))
+    )
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        raw.alias("raw_url"),
+        normalize_url_col(raw).alias("url"),
+    )
+
+
+def _oracle_url_normalize() -> str:
+    return """
+WITH raws AS (
+  SELECT doc_id,
+         CASE doc_id % 5
+           WHEN 0 THEN 'HTTP://Example.ORG:80/a/b?z=' || doc_id || '&a=2#frag'
+           WHEN 1 THEN 'https://WWW.Example.org:8080/path?q=' || doc_id
+           WHEN 2 THEN 'HTTPS://site.example.com:443/x/' || doc_id
+           WHEN 3 THEN 'http://example.com#sec' || doc_id
+           ELSE 'https://example.net/p?b=' || doc_id || '&a=1&c=3'
+         END AS raw_url
+  FROM documents),
+parts AS (
+  SELECT doc_id, raw_url,
+         str_split(raw_url, '#')[1] AS nofrag
+  FROM raws),
+fields AS (
+  SELECT doc_id, raw_url,
+         lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS scheme,
+         regexp_extract(nofrag, '^[^:/?#]+://([^/?#]*)', 1) AS hostport,
+         regexp_extract(nofrag, '^[^:/?#]+://[^/?#]*([^?#]*)', 1) AS path,
+         regexp_extract(nofrag, '\\?([^#]*)', 1) AS query
+  FROM parts),
+norm AS (
+  SELECT doc_id, raw_url, scheme,
+         lower(str_split(hostport, ':')[1]) AS host,
+         regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+         CASE WHEN scheme = 'http' THEN '80'
+              WHEN scheme = 'https' THEN '443' ELSE '' END AS dport,
+         CASE WHEN path = '' THEN '/' ELSE path END AS path,
+         query
+  FROM fields)
+SELECT doc_id, raw_url,
+       scheme || '://' || host
+       || CASE WHEN port = '' OR port = dport THEN '' ELSE ':' || port END
+       || path
+       || CASE WHEN query = '' THEN ''
+               ELSE '?' || array_to_string(list_sort(str_split(query, '&')), '&')
+          END AS url
+FROM norm
+"""
+
+
 QUERIES = {
     "outlinks": q_outlinks,
     "pagerank": q_pagerank,
     "outlinks_pagerank": q_outlinks_pagerank,
+    "url_normalize": q_url_normalize,
 }
 ORACLE_SQL = {
     "outlinks": _oracle_outlinks(),
     "pagerank": _oracle_pagerank(),
     "outlinks_pagerank": _oracle_outlinks_pagerank(),
+    "url_normalize": _oracle_url_normalize(),
 }

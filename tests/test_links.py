@@ -74,6 +74,32 @@ def test_pagerank_invariants(spark, sf_dir):
     assert len({r["pagerank"] for r in rows}) > 10
 
 
+def test_url_normalize_expected_values(spark):
+    """Pin the canonicalization INTENT (the oracle only proves engine
+    agreement): case folding on scheme/host but not path, default-port
+    strip vs non-default keep, fragment removal, empty-path slash, query
+    param sorting."""
+    from pyspark.sql import functions as F
+
+    from ankiocr_spark.links import normalize_url_col
+
+    cases = [
+        ("HTTP://Example.ORG:80/a/b?z=9&a=2#frag",
+         "http://example.org/a/b?a=2&z=9"),
+        ("https://WWW.Example.org:8080/Path?q=1",
+         "https://www.example.org:8080/Path?q=1"),
+        ("HTTPS://site.example.com:443/x/2", "https://site.example.com/x/2"),
+        ("http://example.com#sec", "http://example.com/"),
+        ("https://example.net/p?b=4&a=1&c=3",
+         "https://example.net/p?a=1&b=4&c=3"),
+        ("https://example.net/p", "https://example.net/p"),
+    ]
+    df = spark.createDataFrame([(r,) for r, _ in cases], "raw string")
+    got = [r["url"] for r in
+           df.select(normalize_url_col(F.col("raw")).alias("url")).collect()]
+    assert got == [want for _, want in cases]
+
+
 def test_pagerank_variable_outdegree_and_dangling(spark):
     """The general contract (VERDICT r2 fix): computed out-degrees — NOT a
     hardcoded /2 — and dangling-mass redistribution, checked value-for-value
