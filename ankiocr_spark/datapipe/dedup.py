@@ -490,12 +490,74 @@ FROM cand WHERE bit_count(xor(sa, sb)) <= {SIMHASH_HAMMING_MAX}
 """
 
 
+# --- benchmark decontamination ------------------------------------------------
+
+#: n-gram length for eval-overlap detection: long enough that chance
+#: collisions are negligible (the industry-standard 8-13 range), short
+#: enough that paraphrased-but-overlapping passages still hit.
+DECONTAM_NGRAM = 8
+
+#: the deterministic stand-in "benchmark/eval" slice of the corpus.
+EVAL_DOC_MOD = 50
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-set decontamination — the standard LLM-pipeline pass that
+    removes benchmark/eval overlap from training data: any training doc
+    sharing ≥1 8-gram with the eval set is contaminated (at minimum the
+    eval docs themselves, which must never be trained on). Returns the
+    contamination report (doc_id, n_shared 8-grams).
+
+    Scale shape: eval sets are SMALL (benchmarks, not corpora), so their
+    distinct-shingle set broadcasts and the check is a map-side hash probe
+    over the training shingle stream — no shuffle of the stream at all;
+    the only exchange aggregates the HITS per doc, which is tiny. At
+    10^12 training docs this is one scan + one broadcast."""
+    docs = _load_docs(spark, sf_dir)
+    ev = (
+        shingles(docs.where(F.col("doc_id") % EVAL_DOC_MOD == 0),
+                 n=DECONTAM_NGRAM)
+        .select("shingle")
+        .distinct()
+    )
+    tr = shingles(docs, n=DECONTAM_NGRAM)
+    return (
+        tr.join(F.broadcast(ev), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+
+
+def _ngram_sql(n: int) -> str:
+    """DuckDB n-gram expression over str_split tokens — the same
+    whole-text-fallback rule as shingles()."""
+    return f"""
+  SELECT DISTINCT doc_id,
+         unnest(CASE WHEN len(t) >= {n}
+                THEN list_transform(generate_series(1, len(t) - {n - 1}),
+                                    i -> array_to_string(list_slice(t, i, i + {n - 1}), ' '))
+                ELSE [array_to_string(t, ' ')] END) AS shingle
+"""
+
+
+ORACLE_DECONTAMINATE = f"""
+WITH tok AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+tr AS ({_ngram_sql(DECONTAM_NGRAM)} FROM tok),
+ev AS (
+  SELECT DISTINCT shingle FROM tr WHERE doc_id % {EVAL_DOC_MOD} = 0)
+SELECT doc_id, count(*)::BIGINT AS n_shared
+FROM tr JOIN ev USING (shingle)
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
+    "decontaminate": q_decontaminate,
 }
 
 ORACLE_SQL = {
@@ -504,4 +566,5 @@ ORACLE_SQL = {
     "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH,
     "dedup_simhash": ORACLE_DEDUP_SIMHASH,
     "dedup_simhash_pairs": ORACLE_DEDUP_SIMHASH_PAIRS,
+    "decontaminate": ORACLE_DECONTAMINATE,
 }

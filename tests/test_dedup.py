@@ -71,3 +71,27 @@ def test_minhash_permutations_are_independent(spark):
         "all minhash coordinates induce the SAME doc ordering — the "
         "permutation family is degenerate"
     )
+
+
+def test_decontaminate_flags_eval_docs(spark, sf_dir):
+    """Intent check beyond oracle agreement: every eval-slice doc must be
+    flagged (a doc trivially shares all its own n-grams with the eval set
+    it belongs to), with n_shared equal to its full distinct-8-gram count."""
+    from pyspark.sql import functions as F
+
+    from ankiocr_spark.datapipe.dedup import (
+        DECONTAM_NGRAM, EVAL_DOC_MOD, q_decontaminate, shingles,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = {r["doc_id"]: r["n_shared"]
+           for r in q_decontaminate(spark, sf_dir).collect()}
+    eval_ids = [r["doc_id"] for r in
+                docs.where(F.col("doc_id") % EVAL_DOC_MOD == 0).collect()]
+    own = {
+        r["doc_id"]: r["n"]
+        for r in shingles(
+            docs.where(F.col("doc_id") % EVAL_DOC_MOD == 0), n=DECONTAM_NGRAM
+        ).groupBy("doc_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert eval_ids and all(got.get(i) == own[i] for i in eval_ids)
