@@ -53,6 +53,9 @@ AUDIT = [
     "pagerank",
     "outlinks_pagerank",
     "merge_upsert",
+    "url_normalize",
+    "dedup_simhash_pairs",
+    "decontaminate",
 ]
 
 #: caveats rendered under the flags line — mostly for iterative queries,
