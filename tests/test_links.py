@@ -93,6 +93,12 @@ def test_url_normalize_expected_values(spark):
         ("https://example.net/p?b=4&a=1&c=3",
          "https://example.net/p?a=1&b=4&c=3"),
         ("https://example.net/p", "https://example.net/p"),
+        # IPv6 literal authorities (ADVICE r3): brackets are the host, the
+        # ':' host/port split must not fire inside them
+        ("https://[2001:DB8::1]:8443/v6/x#top",
+         "https://[2001:db8::1]:8443/v6/x"),
+        ("HTTPS://[2001:DB8::1]:443/y", "https://[2001:db8::1]/y"),
+        ("http://[::1]", "http://[::1]/"),
     ]
     df = spark.createDataFrame([(r,) for r, _ in cases], "raw string")
     got = [r["url"] for r in
