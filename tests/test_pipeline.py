@@ -1,0 +1,62 @@
+"""Invariant tests for the composed pipeline queries — properties the
+DuckDB oracle cannot catch because it replicates the same math (see the
+MinHash/sessionize precedents): dedup really removes re-crawl dups,
+decontamination really drops every eval doc that survives the gates, and
+window ranks are dense per host."""
+
+from collections import defaultdict
+
+from ankiocr_spark.datapipe.pipeline import (
+    DUP_MOD, q_host_length_rank, q_training_pipeline,
+)
+from ankiocr_spark.datapipe.dedup import EVAL_DOC_MOD
+
+
+def _doc_id(url: str) -> int:
+    return int(url.rsplit("/", 1)[1])
+
+
+def test_training_pipeline_dedups_and_decontaminates(spark, sf_dir):
+    rows = q_training_pipeline(spark, sf_dir).collect()
+    assert rows, "pipeline produced no training docs"
+    urls = [r["url"] for r in rows]
+    assert len(urls) == len(set(urls)), "duplicate urls in training set"
+
+    ids = [_doc_id(u) for u in urls]
+    # exact dedup: a doc and its re-crawl copy (+1000000, same body) can
+    # never both survive
+    base = [i - 1000000 if i >= 1000000 else i for i in ids]
+    dup_eligible = [b for b in base if b % DUP_MOD == 0]
+    assert len(dup_eligible) == len(set(dup_eligible)), (
+        "both members of a re-crawl dup pair survived exact dedup"
+    )
+    # decontamination: an eval doc's body IS its own eval shingle source,
+    # so any eval doc passing the gates must self-hit and be dropped
+    assert not [b for b in base if b % EVAL_DOC_MOD == 0], (
+        "eval-slice doc survived decontamination"
+    )
+    # gates: every survivor carries a quality at or above the floor
+    assert all(r["quality"] >= 0.5 for r in rows)
+    assert all(r["n_tokens"] >= 1 for r in rows)
+
+
+def test_host_length_rank_dense_and_monotone(spark, sf_dir):
+    rows = q_host_length_rank(spark, sf_dir).collect()
+    assert rows
+    by_host = defaultdict(list)
+    for r in rows:
+        by_host[r["host"]].append((r["n_chars_extracted"], r["length_rank"]))
+    assert len(by_host) > 1, "multi-host synthesis collapsed to one host"
+    for host, pairs in by_host.items():
+        pairs.sort(key=lambda p: (-p[0], p[1]))
+        ranks = [rk for _, rk in pairs]
+        # dense: rank values form 1..max with no gaps
+        assert sorted(set(ranks)) == list(range(1, max(ranks) + 1)), host
+        # monotone: longer extracts never rank below shorter ones
+        lens = [ln for ln, _ in pairs]
+        assert lens == sorted(lens, reverse=True), host
+        # equal lengths share a rank; strictly longer means strictly better
+        seen = {}
+        for ln, rk in pairs:
+            seen.setdefault(ln, rk)
+            assert seen[ln] == rk, f"{host}: tie got two ranks"
