@@ -15,7 +15,7 @@ machinery required by the scale target (SURVEY.md §2.1 last paragraph).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -80,29 +80,51 @@ def merge_upsert(
     errors when one target row matches multiple delta rows, whereas a
     full-outer join would silently FAN OUT (one output row per duplicate,
     corrupting key uniqueness for every later merge — r3 review fix). The
-    check is one partial-aggregated pass over the delta only (the small
-    side of a re-crawl merge); disable it for deltas already deduped
-    upstream, e.g. by the streaming url-dedup ingest."""
+    check is FOLDED INTO THE MERGE PLAN (VERDICT r3 #5 — previously a
+    separate ``groupBy().count()`` pass scanned the delta twice): a
+    per-key window count rides the delta scan — sharing the bucketed
+    table's hash partitioning, so still no Exchange — and a guarded
+    ``raise_error`` FILTER fires at ACTION time, which is exactly when
+    Iceberg's own multiple-match check fires. A filter (not a guarded
+    projection — column pruning would elide that under ``count()``-style
+    actions) is evaluated under every action. Disable the check for
+    deltas already deduped upstream, e.g. by the streaming url-dedup
+    ingest.
+
+    NULL keys can never match a target row (the join condition is
+    null-rejecting), so multiple NULL-key delta rows cannot fan out —
+    they all pass through as inserts, which MERGE accepts."""
     d_tbl = spark.table(delta_table)
     if assert_unique_delta:
-        # NULL keys can never match a target row (the join condition is
-        # null-rejecting), so multiple NULL-key delta rows cannot fan out —
-        # they all pass through as inserts, which MERGE accepts
-        dups = (
-            d_tbl.where(F.col(key).isNotNull())
-            .groupBy(key).count().where(F.col("count") > 1).limit(1).count()
+        d_tbl = d_tbl.withColumn(
+            "_n_delta_rows", F.count("*").over(Window.partitionBy(key))
         )
-        if dups:
-            raise ValueError(
-                f"delta table {delta_table!r} has duplicate {key!r} keys — "
-                "MERGE semantics forbid multiple matches per target row; "
-                "dedup the delta (e.g. keep newest warc_ts per key) first"
-            )
     t = spark.table(target_table).alias("t")
     d = d_tbl.alias("d")
     val_cols = [c for c in spark.table(target_table).columns if c != key]
     matched = F.col(f"d.{key}").isNotNull()
-    return t.join(d, F.col(f"t.{key}") == F.col(f"d.{key}"), "full_outer").select(
+    joined = t.join(d, F.col(f"t.{key}") == F.col(f"d.{key}"), "full_outer")
+    if assert_unique_delta:
+        joined = joined.where(
+            F.when(
+                matched & (F.col("d._n_delta_rows") > 1),
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            f"MERGE: delta table {delta_table!r} has duplicate "
+                            f"{key!r} keys (e.g. "
+                        ),
+                        F.col(f"d.{key}"),
+                        F.lit(
+                            ") — MERGE semantics forbid multiple matches per "
+                            "target row; dedup the delta (e.g. keep newest "
+                            "warc_ts per key) first"
+                        ),
+                    )
+                ),
+            ).otherwise(F.lit(True))
+        )
+    return joined.select(
         F.coalesce(F.col(f"d.{key}"), F.col(f"t.{key}")).alias(key),
         *[
             F.when(matched, F.col(f"d.{c}")).otherwise(F.col(f"t.{c}")).alias(c)

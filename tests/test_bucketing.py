@@ -97,7 +97,10 @@ def test_merge_upsert_semantics_and_zero_exchange(spark, tmp_path):
 
 def test_merge_upsert_rejects_duplicate_delta_keys(spark):
     """MERGE semantics (r3 review): multiple delta matches for one target
-    row must error like Iceberg's runtime check, not silently fan out."""
+    row must error like Iceberg's runtime check, not silently fan out.
+    Since r4 the guard rides the merge plan itself (one delta scan), so
+    the error surfaces at ACTION time — the same point Iceberg's own
+    multiple-match check fires — as a raise_error, not a ValueError."""
     from ankiocr_spark.bucketing import merge_upsert
 
     target = spark.createDataFrame([("u1", "old")], "url string, v string")
@@ -107,8 +110,8 @@ def test_merge_upsert_rejects_duplicate_delta_keys(spark):
     write_bucketed(target, "m_t2", 2, "url")
     write_bucketed(delta, "m_d2", 2, "url")
     try:
-        with pytest.raises(ValueError, match="duplicate"):
-            merge_upsert(spark, "m_t2", "m_d2")
+        with pytest.raises(Exception, match="duplicate"):
+            merge_upsert(spark, "m_t2", "m_d2").count()
         # opting out reproduces the raw fan-out join (documented escape)
         assert merge_upsert(
             spark, "m_t2", "m_d2", assert_unique_delta=False
