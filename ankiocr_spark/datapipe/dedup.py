@@ -35,13 +35,21 @@ def _md5int(col):
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
 
 
-def shingles(df: DataFrame, n: int = 3, distinct: bool = True) -> DataFrame:
+def shingles(
+    df: DataFrame, n: int = 3, distinct: bool = True, extra_cols: tuple = ()
+) -> DataFrame:
     """(doc_id, shingle) rows: n-word shingles per document.
 
     ``distinct`` costs a full shuffle; Jaccard needs it (set semantics),
     MinHash does NOT (min is duplicate-insensitive), so the signature
     pipeline passes distinct=False and saves one shuffle of the whole
-    shingle stream — at 10^12 docs that shuffle is the largest stage."""
+    shingle stream — at 10^12 docs that shuffle is the largest stage.
+
+    ``extra_cols`` ride along on the exploded rows (distinct=False only)
+    so single-lineage consumers (the composed training pipeline) can
+    aggregate them back without a second pass over the corpus."""
+    if distinct and extra_cols:
+        raise ValueError("extra_cols requires distinct=False")
     tokens = F.split(F.col("text"), " ")
     sh = F.when(
         F.size(tokens) >= n,
@@ -50,7 +58,7 @@ def shingles(df: DataFrame, n: int = 3, distinct: bool = True) -> DataFrame:
             lambda i: F.array_join(F.slice(tokens, i, n), " "),
         ),
     ).otherwise(F.array(F.col("text")))
-    out = df.select("doc_id", F.explode(sh).alias("shingle"))
+    out = df.select("doc_id", *extra_cols, F.explode(sh).alias("shingle"))
     return out.distinct() if distinct else out
 
 

@@ -69,8 +69,21 @@ def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The kernel's closed form makes body = trim(text) when it clears
     MIN_TEXT_CHARS else '', so the whole composition stays oracle-able.
-    At 10^12 docs this is the pipeline run: one kernel pass, JVM gates
-    fused onto its output, one dedup shuffle, one broadcast probe."""
+
+    Plan shape — ONE lineage, so the Python kernel runs ONCE (the naive
+    keepers-join + anti-join composition re-ran the kernel per DataFrame
+    branch: Spark has no cross-branch common-subexpression reuse, the
+    same trap q_dedup_ngram_jaccard documents):
+      1. kernel pass → JVM gates fused onto its output;
+      2. dedup keeper = min(url) per content_hash as a WINDOW (one
+         exchange), filter url == keeper — no second branch;
+      3. body shingles exploded with (n_tokens, quality) riding along,
+         broadcast LEFT join against the eval dictionary marks hits;
+      4. groupBy(url) folds the exploded rows back (shingling is
+         row-local, so every url's shingles sit in one partition and the
+         partial agg collapses them map-side — the exchange carries
+         O(docs), not O(shingles)); max(hit)=0 keeps the doc.
+    At 10^12 docs: one kernel pass, two O(docs) exchanges, one broadcast."""
     ext = _extract_corpus(spark, sf_dir)
     # closed form: extracted = H1 ("\n" body)? — body starts after the
     # constant heading + newline; absent newline → empty body
@@ -90,8 +103,12 @@ def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             quality_col(toks).alias("quality"),
         )
     )
-    keepers = gated.groupBy("content_hash").agg(F.min("url").alias("url"))
-    deduped = gated.join(keepers, ["content_hash", "url"], "left_semi")
+    keeper = F.min("url").over(Window.partitionBy("content_hash"))
+    deduped = (
+        gated.withColumn("keeper", keeper)
+        .where(F.col("url") == F.col("keeper"))
+        .select("url", "body", "n_tokens", "quality")
+    )
     ev = (
         shingles(
             load(spark, sf_dir, "documents")
@@ -102,19 +119,26 @@ def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("shingle")
         .distinct()
+        .withColumn("hit", F.lit(1))
     )
-    contaminated = (
-        shingles(
-            deduped.select(F.col("url").alias("doc_id"), F.col("body").alias("text")),
-            n=DECONTAM_NGRAM,
-            distinct=False,
+    marked = shingles(
+        deduped.select(
+            F.col("url").alias("doc_id"), "n_tokens", "quality",
+            F.col("body").alias("text"),
+        ),
+        n=DECONTAM_NGRAM,
+        distinct=False,
+        extra_cols=("n_tokens", "quality"),
+    ).join(F.broadcast(ev), "shingle", "left")
+    return (
+        marked.groupBy(F.col("doc_id").alias("url"))
+        .agg(
+            F.first("n_tokens").alias("n_tokens"),
+            F.first("quality").alias("quality"),
+            F.max(F.coalesce(F.col("hit"), F.lit(0))).alias("_hit"),
         )
-        .join(F.broadcast(ev), "shingle")
-        .select(F.col("doc_id").alias("url"))
-        .distinct()
-    )
-    return deduped.join(contaminated, "url", "left_anti").select(
-        "url", "n_tokens", "quality"
+        .where(F.col("_hit") == 0)
+        .select("url", "n_tokens", "quality")
     )
 
 
