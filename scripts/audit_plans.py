@@ -56,6 +56,8 @@ AUDIT = [
     "url_normalize",
     "dedup_simhash_pairs",
     "decontaminate",
+    "training_pipeline_e2e",
+    "host_length_rank",
 ]
 
 #: caveats rendered under the flags line — mostly for iterative queries,
