@@ -49,11 +49,17 @@ _FRONT = [
     "multimodal_frame_sample",
     "training_pipeline_e2e",
     "host_length_rank",
+    "dedup_paragraph",
+    "quality_percentiles",
 ]
 
-#: long-stable §2 singletons, green in CORRECTNESS_r01–r03, rotated past
-#: the driver's window this round (still locally parity-checked).
+#: long-stable singletons (multi-round green driver rows), rotated past
+#: the driver's window this round (still locally parity-checked). The
+#: last two make the 50-query boundary explicit rather than letting the
+#: module iteration order pick who falls out.
 _TAIL = [
+    "multimodal_features",
+    "multimodal_resize",
     "scan_project",
     "filter_whitelist",
     "explode_tokens",

@@ -563,8 +563,99 @@ GROUP BY doc_id
 """
 
 
+# --- paragraph-level exact dedup ----------------------------------------------
+
+#: tokens per synthesized paragraph (the corpus text is a flat token stream;
+#: real crawl text splits on blank lines instead — the plan shape is identical).
+PARA_TOKENS = 12
+
+#: re-crawl slice modulus for the paragraph-dedup corpus (guarantees the
+#: dedup stage does real work — the raw corpus has no exact duplicates).
+PARA_DUP_MOD = 7
+
+
+def q_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-granularity exact dedup — the C4/CCNet pass that removes
+    REPEATED PARAGRAPHS corpus-wide (boilerplate, licence blocks, nav
+    text) while keeping each paragraph's first occurrence, rather than
+    dropping whole documents. Paragraphs are synthesized deterministically
+    as fixed 12-token windows (the corpus text is a flat token stream);
+    keeper = lexicographically-first (doc_id, para_idx).
+
+    Scale shape: posexplode is row-local (no shuffle), then ONE hash
+    exchange — and the keeper rule is a partial-aggregatable groupBy, NOT
+    a row_number window: the map-side partial collapses every
+    within-partition duplicate before the exchange, so the shuffle
+    carries one candidate row per (map partition, paragraph) instead of
+    one per occurrence. At 10^12 docs boilerplate paragraphs repeat
+    millions of times; a window would shuffle and sort every occurrence.
+    Two details keep the stage a HashAggregate (SortAggregate would add
+    two map-side sorts of the exploded stream): the keeper (doc_id,
+    para_idx) is PACKED into one bigint so the only aggregate is
+    ``min(bigint)`` (``min(struct)``/``min(string)`` have no mutable agg
+    buffer and demote the stage), and the paragraph TEXT is the group
+    KEY, not an aggregated value (group keys may be strings; only
+    buffers must be primitive). Grouping by the text is value-identical
+    to grouping by md5(paragraph) minus the collision caveat; a 100-TB
+    run that only needs doc refs would group by the 16-byte md5 and drop
+    the text from the shuffle."""
+    docs = _load_docs(spark, sf_dir).where(F.col("text").isNotNull())
+    dupes = docs.where(F.col("doc_id") % PARA_DUP_MOD == 0).withColumn(
+        "doc_id", F.col("doc_id") + 2000000
+    )
+    corpus = docs.unionByName(dupes)
+    toks = F.split("text", " ")
+    n_para = F.ceil(F.size(toks) / F.lit(PARA_TOKENS)).cast("int")
+    paras = F.transform(
+        F.sequence(F.lit(0), n_para - 1),
+        lambda i: F.array_join(
+            F.slice(toks, i * PARA_TOKENS + 1, PARA_TOKENS), " "
+        ),
+    )
+    exploded = corpus.select(
+        "doc_id", F.posexplode(paras).alias("para_idx", "paragraph")
+    )
+    pack = F.col("doc_id") * F.lit(1 << 20) + F.col("para_idx")
+    return (
+        exploded.groupBy("paragraph")
+        .agg(F.min(pack).alias("_pack"))
+        .select(
+            F.shiftright("_pack", 20).alias("doc_id"),
+            F.col("_pack").bitwiseAND(F.lit((1 << 20) - 1))
+            .cast("int").alias("para_idx"),
+            "paragraph",
+        )
+    )
+
+
+#: lateral ``generate_series(col)`` is unsupported in DuckDB 1.0's binder,
+#: so the paragraph explode unnests a list-of-structs built per row instead.
+ORACLE_DEDUP_PARAGRAPH = f"""
+WITH corpus AS (
+  SELECT doc_id, str_split(text, ' ') AS toks FROM documents
+  WHERE text IS NOT NULL
+  UNION ALL
+  SELECT doc_id + 2000000, str_split(text, ' ') FROM documents
+  WHERE text IS NOT NULL AND doc_id % {PARA_DUP_MOD} = 0),
+paras AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(CAST(ceil(len(toks) / {PARA_TOKENS}.0) AS BIGINT)),
+           i -> struct_pack(
+             para_idx := CAST(i AS INT),
+             paragraph := array_to_string(
+               toks[i * {PARA_TOKENS} + 1 : i * {PARA_TOKENS} + {PARA_TOKENS}],
+               ' ')))) AS p
+  FROM corpus)
+SELECT doc_id, p.para_idx AS para_idx, p.paragraph AS paragraph FROM paras
+QUALIFY row_number() OVER (
+  PARTITION BY md5(p.paragraph) ORDER BY doc_id, p.para_idx) = 1
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
+    "dedup_paragraph": q_dedup_paragraph,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
@@ -574,6 +665,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
+    "dedup_paragraph": ORACLE_DEDUP_PARAGRAPH,
     "dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM,
     "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH,
     "dedup_simhash": ORACLE_DEDUP_SIMHASH,

@@ -177,8 +177,46 @@ WHERE doc_id IN (SELECT min(doc_id) FROM gated GROUP BY content_hash)
 """
 
 
+def q_quality_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality-score distribution (median + p90 + count) —
+    the corpus-health report every curation run starts from (where do the
+    gates bite, per language?).
+
+    Scale note: ``F.percentile`` is EXACT (it buffers the group's values),
+    which is what makes this oracle-checkable; the group count is bounded
+    by the language set, not the corpus, but per-group state is O(docs in
+    group). The 100-TB path swaps in ``approx_percentile(col, p, acc)``
+    (bounded GK-sketch state, partial-aggregatable) — one identifier, same
+    plan shape; the exact form stays here as the value contract."""
+    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    tokens = F.split("text", " ")
+    return (
+        docs.select("lang", quality_col(tokens).alias("quality"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.percentile("quality", F.lit(0.5)), 6).alias("quality_p50"),
+            F.round(F.percentile("quality", F.lit(0.9)), 6).alias("quality_p90"),
+        )
+    )
+
+
+ORACLE_QUALITY_PERCENTILES = """
+WITH scored AS (
+  SELECT lang,
+         round(0.4 * least(1.0, len(str_split(text, ' ')) / 100.0)
+             + 0.6 * (len(list_distinct(str_split(text, ' '))) / len(str_split(text, ' '))), 6) AS quality
+  FROM documents WHERE text IS NOT NULL)
+SELECT lang, count(*)::BIGINT AS n_docs,
+       round(quantile_cont(quality, 0.5), 6) AS quality_p50,
+       round(quantile_cont(quality, 0.9), 6) AS quality_p90
+FROM scored GROUP BY lang
+"""
+
+
 QUERIES = {
     "lang_id": q_lang_id,
+    "quality_percentiles": q_quality_percentiles,
     "quality_score": q_quality_score,
     "token_count": q_token_count,
     "doc_fingerprint": q_fingerprint,
@@ -187,6 +225,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "lang_id": ORACLE_LANG_ID,
+    "quality_percentiles": ORACLE_QUALITY_PERCENTILES,
     "quality_score": ORACLE_QUALITY,
     "token_count": ORACLE_TOKEN_COUNT,
     "doc_fingerprint": ORACLE_FINGERPRINT,

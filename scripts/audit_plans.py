@@ -58,6 +58,8 @@ AUDIT = [
     "decontaminate",
     "training_pipeline_e2e",
     "host_length_rank",
+    "dedup_paragraph",
+    "quality_percentiles",
 ]
 
 #: caveats rendered under the flags line — mostly for iterative queries,

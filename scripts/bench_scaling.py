@@ -210,6 +210,10 @@ def main() -> None:
     ap.add_argument("--input")
     ap.add_argument("--mode", default="default")
     ap.add_argument("--reps", type=int, default=REPS)
+    ap.add_argument("--rounds", type=int, default=2,
+                    help="round-robin time windows per capability; raise on "
+                         "noisy hosts (noise is one-sided, best-of is the "
+                         "estimator)")
     args = ap.parse_args()
 
     if args.child:
@@ -225,7 +229,7 @@ def main() -> None:
     # ceiling lands in a quiet window and the Spark run in a noisy one,
     # their RATIO is biased. Sample every capability in ROUNDS separate
     # windows, round-robin, and take each one's best across rounds.
-    ROUNDS = 2
+    ROUNDS = args.rounds
 
     def _best(a, b):
         return b if a is None or b["docs_per_sec"] > a["docs_per_sec"] else a

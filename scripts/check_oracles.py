@@ -83,6 +83,12 @@ def main() -> int:
 
     qs = entry.queries()
     oracles = entry.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        # an unmatched name would silently check NOTHING and print the
+        # all-green footer — fail loudly instead
+        print(f"unknown query names: {sorted(unknown)}", file=sys.stderr)
+        return 2
     failures = []
     for name, fn in qs.items():
         if only and name not in only:

@@ -1,0 +1,91 @@
+"""Invariant tests for paragraph-level dedup and per-lang quality
+percentiles — each checked against an INDEPENDENT pure-Python
+reimplementation (the oracle-parity sweep replicates the same SQL math,
+so these are the checks that catch shared-math bugs)."""
+
+import hashlib
+import math
+
+import duckdb
+import numpy as np
+
+from ankiocr_spark.datapipe.dedup import (
+    PARA_DUP_MOD, PARA_TOKENS, q_dedup_paragraph,
+)
+from ankiocr_spark.datapipe.textstats import q_quality_percentiles
+
+
+def _corpus(sf_dir):
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet') "
+        "WHERE text IS NOT NULL ORDER BY doc_id"
+    ).fetchall()
+    corpus = list(rows)
+    corpus += [
+        (doc_id + 2000000, text)
+        for doc_id, text in rows
+        if doc_id % PARA_DUP_MOD == 0
+    ]
+    return corpus
+
+
+def _paragraphs(text):
+    toks = text.split(" ")
+    n = math.ceil(len(toks) / PARA_TOKENS)
+    return [
+        " ".join(toks[i * PARA_TOKENS:(i + 1) * PARA_TOKENS]) for i in range(n)
+    ]
+
+
+def test_dedup_paragraph_keeps_exactly_first_occurrence(spark, sf_dir):
+    # independent reimplementation: first (doc_id, para_idx) per paragraph
+    expected = {}
+    for doc_id, text in _corpus(sf_dir):
+        for idx, para in enumerate(_paragraphs(text)):
+            key = (doc_id, idx)
+            if para not in expected or key < expected[para]:
+                expected[para] = key
+    got = {
+        r["paragraph"]: (r["doc_id"], r["para_idx"])
+        for r in q_dedup_paragraph(spark, sf_dir).collect()
+    }
+    assert got == expected
+    # the re-crawl copy of a doc can never win: its base doc holds the
+    # same paragraphs at a smaller doc_id
+    assert all(doc_id < 2000000 for doc_id, _ in got.values())
+
+
+def test_dedup_paragraph_output_has_no_hash_collisions(spark, sf_dir):
+    # the ORACLE partitions by md5(paragraph) (and a 100-TB run would
+    # group by the digest); distinct output paragraphs must map to
+    # distinct digests or that keeper rule silently merges two texts
+    paras = [r["paragraph"] for r in q_dedup_paragraph(spark, sf_dir).collect()]
+    digests = {hashlib.md5(p.encode()).hexdigest() for p in paras}
+    assert len(digests) == len(paras)
+
+
+def _py_quality(text):
+    toks = text.split(" ")
+    return round(
+        0.4 * min(1.0, len(toks) / 100.0) + 0.6 * (len(set(toks)) / len(toks)),
+        6,
+    )
+
+
+def test_quality_percentiles_match_numpy(spark, sf_dir):
+    rows = duckdb.sql(
+        f"SELECT lang, text FROM read_parquet('{sf_dir}/documents.parquet') "
+        "WHERE text IS NOT NULL"
+    ).fetchall()
+    by_lang = {}
+    for lang, text in rows:
+        by_lang.setdefault(lang, []).append(_py_quality(text))
+    got = {r["lang"]: r for r in q_quality_percentiles(spark, sf_dir).collect()}
+    assert set(got) == set(by_lang)
+    for lang, vals in by_lang.items():
+        r = got[lang]
+        assert r["n_docs"] == len(vals)
+        # Spark's exact percentile uses linear interpolation = numpy default
+        assert abs(r["quality_p50"] - round(float(np.percentile(vals, 50)), 6)) <= 1e-6
+        assert abs(r["quality_p90"] - round(float(np.percentile(vals, 90)), 6)) <= 1e-6
+        assert r["quality_p50"] <= r["quality_p90"]
