@@ -27,13 +27,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from ankiocr_spark import bucketing, checkpoint, links, ops, pdftext, streaming, warc  # noqa: E402
 from ankiocr_spark.datapipe import (  # noqa: E402
-    analytics, dedup, multimodal, pipeline, relational, similarity, textstats,
+    analytics, curation, dedup, multimodal, pipeline, relational, similarity,
+    textstats,
 )
 from ankiocr_spark.session import ensure_workers_can_import  # noqa: E402
 
 _MODULES = (ops, pdftext, warc, links, streaming, bucketing, checkpoint,
             dedup, similarity, textstats, multimodal, analytics, relational,
-            pipeline)
+            pipeline, curation)
 
 #: queries that have never received a driver CORRECTNESS row (r2+r3 were
 #: starved by export position > 50) plus this round's new queries — these
@@ -51,6 +52,10 @@ _FRONT = [
     "host_length_rank",
     "dedup_paragraph",
     "quality_percentiles",
+    "dedup_cc_clusters",
+    "pii_redact",
+    "repetition_filter",
+    "tfidf_top_terms",
 ]
 
 #: long-stable singletons (multi-round green driver rows), rotated past
@@ -58,6 +63,10 @@ _FRONT = [
 #: last two make the 50-query boundary explicit rather than letting the
 #: module iteration order pick who falls out.
 _TAIL = [
+    "semi_join_ids",
+    "validity_filter",
+    "clean_text_sql",
+    "broadcast_rejoin",
     "multimodal_features",
     "multimodal_resize",
     "scan_project",

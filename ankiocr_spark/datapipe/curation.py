@@ -1,0 +1,239 @@
+"""Corpus-curation operators a 100-TB training-data pipeline runs after
+extraction: PII redaction, Gopher-style repetition filtering, and TF-IDF
+salient-term tagging. All JVM-side expressions (whole-stage codegen — no
+Python on the hot path) with exact DuckDB oracles.
+
+Reference analog: AnkiOCR post-processes every OCR result before
+writeback (text cleanup in ocr.py:141-149, per-note field rewrite in
+api.py:252-268); these operators are that rewrite stage generalized to
+the curation passes C4/Gopher-class corpora apply between extraction and
+training-set selection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+#: PII patterns — intersection of Java-regex and RE2 syntax (character
+#: classes + bounded quantifiers only) so Spark and the DuckDB oracle
+#: compile the SAME automaton. Kept deliberately simple: the operator
+#: contract is the redaction PLUMBING (codegen regex over the corpus,
+#: per-class counters); production swaps in audited pattern packs.
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+IPV4_RE = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+#: deterministic PII-bearing slice: the fixture corpus contains no PII,
+#: so (exactly like dedup_exact's re-crawl slice) every 5th doc gets a
+#: synthetic contact line appended in-flight — the redactor must find it.
+PII_MOD = 5
+PII_SUFFIX_FMT = " contact u%d@example.org or 10.0.%d.%d now"
+
+#: Gopher-style repetition gates (calibrated so each bites a real slice
+#: of the fixture corpus: top-bigram share p90 ≈ 0.069, median ≈ 0.033;
+#: distinct-token ratio p10 ≈ 0.32, median ≈ 0.46)
+MAX_TOP_BIGRAM_SHARE = 0.05
+MIN_DISTINCT_RATIO = 0.35
+
+#: salient terms kept per document by the TF-IDF tagger
+TFIDF_TOP_K = 3
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redact emails and IPv4 literals, counting each class per doc.
+
+    Scale shape: ZERO shuffles — regexp_extract_all/regexp_replace are
+    codegen'd JVM expressions fused into the scan projection, so the
+    pass streams at I/O speed; the per-class counts are the audit
+    columns a compliance report aggregates later. Email is redacted
+    before IP so an address's host part can't be half-rewritten."""
+    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    pii_text = F.when(
+        F.col("doc_id") % PII_MOD == 0,
+        F.concat(
+            F.col("text"),
+            F.format_string(
+                PII_SUFFIX_FMT,
+                F.col("doc_id"),
+                F.col("doc_id") % 256,
+                (F.col("doc_id") * 7) % 256,
+            ),
+        ),
+    ).otherwise(F.col("text"))
+    n_emails = F.size(F.regexp_extract_all(pii_text, F.lit(EMAIL_RE), F.lit(0)))
+    n_ips = F.size(F.regexp_extract_all(pii_text, F.lit(IPV4_RE), F.lit(0)))
+    redacted = F.regexp_replace(
+        F.regexp_replace(pii_text, EMAIL_RE, "<EMAIL>"), IPV4_RE, "<IP>"
+    )
+    return docs.select(
+        "doc_id",
+        redacted.alias("redacted"),
+        n_emails.alias("n_emails"),
+        n_ips.alias("n_ips"),
+    )
+
+
+ORACLE_PII_REDACT = f"""
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {PII_MOD} = 0
+              THEN text || printf('{PII_SUFFIX_FMT}',
+                                  doc_id, doc_id % 256, (doc_id * 7) % 256)
+              ELSE text END AS t
+  FROM documents WHERE text IS NOT NULL)
+SELECT doc_id,
+       regexp_replace(regexp_replace(t, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                      '{IPV4_RE}', '<IP>', 'g') AS redacted,
+       len(regexp_extract_all(t, '{EMAIL_RE}'))::BIGINT AS n_emails,
+       len(regexp_extract_all(t, '{IPV4_RE}'))::BIGINT AS n_ips
+FROM aug
+"""
+
+
+def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition gate: drop docs whose most-frequent bigram
+    dominates (boilerplate loops) or whose distinct-token ratio is low
+    (keyword stuffing). Emits the measurements plus the keep verdict so
+    downstream selection can re-threshold without recompute.
+
+    Scale shape: the bigram build is a row-local array transform; the
+    explode feeds ONE hash exchange on (doc_id, bigram) with map-side
+    partial counts, then the per-doc fold groups by doc_id — the
+    row-local columns (n_tokens, distinct_ratio) ride that second
+    groupBy as functionally-dependent keys instead of rejoining the
+    corpus (the sizes-ride-the-postings shape from dedup)."""
+    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    toks = F.split("text", " ")
+    docs = docs.select("doc_id", toks.alias("toks")).where(F.size("toks") >= 2)
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.size("toks") - 2),
+        lambda i: F.concat_ws(" ", F.get("toks", i), F.get("toks", i + 1)),
+    )
+    ratio = F.round(F.size(F.array_distinct("toks")) / F.size("toks"), 6)
+    exploded = docs.select(
+        "doc_id",
+        ratio.alias("distinct_ratio"),
+        F.explode(bigrams).alias("bigram"),
+    )
+    counts = exploded.groupBy("doc_id", "distinct_ratio", "bigram").agg(
+        F.count("*").alias("c")
+    )
+    share = F.round(F.max("c") / F.sum("c"), 6)
+    per_doc = counts.groupBy("doc_id", "distinct_ratio").agg(
+        share.alias("top_bigram_share")
+    )
+    return per_doc.select(
+        "doc_id",
+        "top_bigram_share",
+        "distinct_ratio",
+        (
+            (F.col("top_bigram_share") <= MAX_TOP_BIGRAM_SHARE)
+            & (F.col("distinct_ratio") >= MIN_DISTINCT_RATIO)
+        ).alias("keep"),
+    )
+
+
+ORACLE_REPETITION = f"""
+WITH docs AS (
+  SELECT doc_id, str_split(text, ' ') AS toks FROM documents
+  WHERE text IS NOT NULL AND len(str_split(text, ' ')) >= 2),
+bg AS (
+  SELECT doc_id,
+         round(len(list_distinct(toks)) / len(toks)::DOUBLE, 6)
+           AS distinct_ratio,
+         unnest(list_transform(range(len(toks) - 1),
+                               i -> toks[i + 1] || ' ' || toks[i + 2]))
+           AS bigram
+  FROM docs),
+cnt AS (
+  SELECT doc_id, distinct_ratio, bigram, count(*) AS c
+  FROM bg GROUP BY 1, 2, 3),
+per_doc AS (
+  SELECT doc_id, distinct_ratio,
+         round(max(c) / sum(c)::DOUBLE, 6) AS top_bigram_share
+  FROM cnt GROUP BY 1, 2)
+SELECT doc_id, top_bigram_share, distinct_ratio,
+       (top_bigram_share <= {MAX_TOP_BIGRAM_SHARE}
+        AND distinct_ratio >= {MIN_DISTINCT_RATIO}) AS keep
+FROM per_doc
+"""
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TFIDF_TOP_K} salient terms per doc by TF-IDF — the tagging
+    pass behind topical sampling and mixture balancing.
+
+    Scale shape — ONE corpus scan, one lineage: term frequencies are a
+    hash exchange on (doc_id, term) with map-side partials, then
+    document frequency rides the tf rows as a window over `term` — NOT
+    a separate groupBy branch joined back, because DataFrames have no
+    cross-branch common-subexpression reuse, so the branch shape
+    re-scans the corpus and re-runs the explode per branch (ReadSchema×2
+    in the audit — the exact shape measured and rejected for Jaccard in
+    r3). The only other exchange is the per-doc top-k window. N_docs is
+    a parquet-metadata count (rowgroup stats, no scan). Ties rank
+    deterministically (score desc, term asc); both engines compare the
+    same IEEE doubles."""
+    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    n_docs = docs.count()  # metadata-only action, same class as pagerank's
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    scored = tf.withColumn(
+        "df", F.count("*").over(Window.partitionBy("term"))
+    ).select(
+        "doc_id",
+        "term",
+        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("_s"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("_s").desc(), F.col("term"))
+    return (
+        scored.select(
+            "doc_id", "term", F.row_number().over(w).alias("rank"), "_s"
+        )
+        .where(F.col("rank") <= TFIDF_TOP_K)
+        .select("doc_id", "term", "rank", F.round("_s", 6).alias("tfidf"))
+    )
+
+
+ORACLE_TFIDF = f"""
+WITH tf AS (
+  SELECT doc_id, unnest(str_split(text, ' ')) AS term
+  FROM documents WHERE text IS NOT NULL),
+tfc AS (
+  SELECT doc_id, term, count(*) AS tf FROM tf GROUP BY 1, 2),
+dfc AS (
+  SELECT term, count(*) AS df FROM tfc GROUP BY 1),
+n AS (
+  SELECT count(*) AS n_docs FROM documents WHERE text IS NOT NULL),
+scored AS (
+  SELECT doc_id, term, tf * ln(n_docs / df::DOUBLE) AS s
+  FROM tfc JOIN dfc USING (term), n),
+ranked AS (
+  SELECT doc_id, term,
+         row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, term)
+           AS rank,
+         s
+  FROM scored)
+SELECT doc_id, term, rank::INT AS rank, round(s, 6) AS tfidf
+FROM ranked WHERE rank <= {TFIDF_TOP_K}
+"""
+
+
+QUERIES = {
+    "pii_redact": q_pii_redact,
+    "repetition_filter": q_repetition_filter,
+    "tfidf_top_terms": q_tfidf_top_terms,
+}
+
+ORACLE_SQL = {
+    "pii_redact": ORACLE_PII_REDACT,
+    "repetition_filter": ORACLE_REPETITION,
+    "tfidf_top_terms": ORACLE_TFIDF,
+}

@@ -653,6 +653,94 @@ QUALIFY row_number() OVER (
 """
 
 
+# --- near-dup cluster assignment (connected components) -----------------------
+
+#: convergence backstop for min-label propagation; the fixture graph's
+#: components converge in <10 rounds, and a graph that does not converge
+#: within this bound indicates a pathology worth failing loudly on
+CC_MAX_ITERS = 50
+
+
+def q_dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster assignment over the SimHash near-dup pair graph: every doc
+    that appears in at least one near-dup pair gets cluster_id = the
+    smallest doc_id in its connected component — the grouping step that
+    turns pairwise candidates into keep-one-per-cluster dedup decisions.
+
+    Implementation is iterative min-label propagation (the GraphFrames /
+    Hash-to-Min shape): labels start as each vertex's own id; each round
+    every vertex takes the min of its neighbors' labels; fixpoint =
+    component minima. Rounds needed = graph diameter (dense near-dup
+    clusters have tiny diameters; large-star/small-star would make it
+    O(log d) if ever needed). Two structural choices keep round cost
+    FLAT (measured: without them round 6 OOMs the optimizer):
+
+    - SELF-LOOPS on the cached symmetric edge list deliver a vertex's
+      own label through the same join as its neighbors', so each round
+      is ONE equi-join + ONE min-groupBy (both hash exchanges on doc
+      ids, partial-aggregated map-side) with NO keep-own-label rejoin.
+    - Each label generation is ``localCheckpoint``-ed, not cached:
+      an InMemoryRelation still EMBEDS its child plan, so a cached loop
+      doubles the logical-plan tree every round (measured 2^k growth;
+      analysis alone took 39 s by round 6) even though the data cache
+      hits. localCheckpoint truncates to a LogicalRDD — O(1) plan per
+      round, exactly why GraphFrames checkpoints its CC loop. On a
+      cluster, periodic reliable ``checkpoint()`` additionally bounds
+      recovery lineage; the convergence count doubles as the per-round
+      materialization barrier.
+    """
+    pairs = q_dedup_simhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    sym = pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a"))).toDF(
+        "src", "dst"
+    )
+    verts = sym.select("dst").distinct()
+    edges = (
+        sym.union(verts.select(F.col("dst").alias("src"), "dst"))
+        .repartition("dst")
+        .cache()
+    )
+    labels = verts.select(
+        F.col("dst").alias("doc_id"), F.col("dst").alias("label")
+    ).localCheckpoint()
+    for _ in range(CC_MAX_ITERS):
+        new_labels = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy("dst")
+            .agg(F.min("label").alias("label"))
+            .select(F.col("dst").alias("doc_id"), "label")
+            .localCheckpoint()
+        )
+        changed = new_labels.join(
+            labels.withColumnRenamed("label", "old"), "doc_id"
+        ).where(F.col("label") < F.col("old")).count()
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(f"label propagation did not converge in {CC_MAX_ITERS} rounds")
+    edges.unpersist()
+    return labels.select("doc_id", F.col("label").alias("cluster_id"))
+
+
+#: transitive closure via recursive CTE mirrors the propagation fixpoint;
+#: the pair graph is embedded as a subquery so the two operators cannot
+#: drift apart
+ORACLE_DEDUP_CC = f"""
+WITH RECURSIVE pair_graph AS (
+  SELECT doc_a, doc_b FROM ({ORACLE_DEDUP_SIMHASH_PAIRS})),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pair_graph
+  UNION
+  SELECT doc_b, doc_a FROM pair_graph),
+reach(doc, root) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT e.d, r.root FROM reach r JOIN edges e ON e.s = r.doc)
+SELECT doc AS doc_id, min(root)::BIGINT AS cluster_id
+FROM reach GROUP BY doc
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_paragraph": q_dedup_paragraph,
@@ -660,6 +748,7 @@ QUERIES = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
+    "dedup_cc_clusters": q_dedup_cc_clusters,
     "decontaminate": q_decontaminate,
 }
 
@@ -670,5 +759,6 @@ ORACLE_SQL = {
     "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH,
     "dedup_simhash": ORACLE_DEDUP_SIMHASH,
     "dedup_simhash_pairs": ORACLE_DEDUP_SIMHASH_PAIRS,
+    "dedup_cc_clusters": ORACLE_DEDUP_CC,
     "decontaminate": ORACLE_DECONTAMINATE,
 }

@@ -60,6 +60,10 @@ AUDIT = [
     "host_length_rank",
     "dedup_paragraph",
     "quality_percentiles",
+    "pii_redact",
+    "repetition_filter",
+    "tfidf_top_terms",
+    "dedup_cc_clusters",
 ]
 
 #: caveats rendered under the flags line — mostly for iterative queries,
@@ -86,6 +90,16 @@ NOTES = {
         "The Iceberg MERGE analog: full-outer SortMergeJoin over two "
         "same-bucketed, sort-ordered tables — zero Exchange, zero Sort "
         "(bucketed scan exposes the hash partitioning and order)."
+    ),
+    "dedup_cc_clusters": (
+        "Iterative min-label propagation; the printed tree is just the "
+        "final localCheckpoint'ed label generation (a LogicalRDD scan) "
+        "because each round truncates lineage — a cached loop instead "
+        "DOUBLES the logical plan every round (InMemoryRelation embeds "
+        "its child plan) and OOMs the optimizer by round 6. Per round "
+        "the executed work is ONE equi-join of the cached self-looped "
+        "edge list against the previous labels + ONE min-groupBy, with "
+        "the convergence count as the bounded per-round scalar action."
     ),
 }
 

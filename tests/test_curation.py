@@ -1,0 +1,129 @@
+"""Invariant tests for the curation operators and near-dup clustering —
+each checked against an INDEPENDENT pure-Python reimplementation (the
+oracle-parity sweep replicates the same SQL math, so these are the
+checks that catch shared-math bugs)."""
+
+import math
+import re
+from collections import Counter
+
+import duckdb
+
+from ankiocr_spark.datapipe.curation import (
+    EMAIL_RE,
+    IPV4_RE,
+    MAX_TOP_BIGRAM_SHARE,
+    MIN_DISTINCT_RATIO,
+    PII_MOD,
+    TFIDF_TOP_K,
+    q_pii_redact,
+    q_repetition_filter,
+    q_tfidf_top_terms,
+)
+from ankiocr_spark.datapipe.dedup import (
+    q_dedup_cc_clusters,
+    q_dedup_simhash_pairs,
+)
+
+
+def _rows(sf_dir):
+    return duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet') "
+        "WHERE text IS NOT NULL ORDER BY doc_id"
+    ).fetchall()
+
+
+def test_cc_clusters_match_union_find(spark, sf_dir):
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in q_dedup_simhash_pairs(spark, sf_dir).collect()
+    ]
+    # independent union-find over the same pair graph
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {v: find(v) for v in parent}
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in q_dedup_cc_clusters(spark, sf_dir).collect()
+    }
+    assert got == expected
+    # every pair's endpoints landed in one cluster, labels are minima
+    assert all(got[a] == got[b] for a, b in pairs)
+    assert all(cid <= doc for doc, cid in got.items())
+
+
+def test_pii_redact_leaves_no_matches_and_counts_the_slice(spark, sf_dir):
+    out = {r["doc_id"]: r for r in q_pii_redact(spark, sf_dir).collect()}
+    email, ip = re.compile(EMAIL_RE), re.compile(IPV4_RE)
+    for doc_id, r in out.items():
+        assert not email.search(r["redacted"])
+        assert not ip.search(r["redacted"])
+        if doc_id % PII_MOD == 0:
+            # the synthetic contact line carries exactly 1 email + 1 IP
+            assert r["n_emails"] == 1 and r["n_ips"] == 1
+            assert "<EMAIL>" in r["redacted"] and "<IP>" in r["redacted"]
+        else:
+            assert r["n_emails"] == 0 and r["n_ips"] == 0
+
+
+def test_repetition_filter_matches_python(spark, sf_dir):
+    got = {r["doc_id"]: r for r in q_repetition_filter(spark, sf_dir).collect()}
+    kept = dropped = 0
+    for doc_id, text in _rows(sf_dir):
+        toks = text.split(" ")
+        if len(toks) < 2:
+            assert doc_id not in got
+            continue
+        bigrams = Counter(
+            f"{toks[i]} {toks[i+1]}" for i in range(len(toks) - 1)
+        )
+        share = round(max(bigrams.values()) / sum(bigrams.values()), 6)
+        ratio = round(len(set(toks)) / len(toks), 6)
+        r = got[doc_id]
+        assert abs(r["top_bigram_share"] - share) <= 1e-9
+        assert abs(r["distinct_ratio"] - ratio) <= 1e-9
+        keep = share <= MAX_TOP_BIGRAM_SHARE and ratio >= MIN_DISTINCT_RATIO
+        assert r["keep"] == keep
+        kept += keep
+        dropped += not keep
+    # thresholds are calibrated to BITE: both outcomes must occur
+    assert kept > 0 and dropped > 0
+
+
+def test_tfidf_top_terms_matches_python(spark, sf_dir):
+    rows = _rows(sf_dir)
+    n_docs = len(rows)
+    df = Counter()
+    tfs = {}
+    for doc_id, text in rows:
+        tf = Counter(text.split(" "))
+        tfs[doc_id] = tf
+        df.update(tf.keys())
+    expected = {}
+    for doc_id, tf in tfs.items():
+        scored = sorted(
+            ((t, c * math.log(n_docs / df[t])) for t, c in tf.items()),
+            key=lambda kv: (-kv[1], kv[0]),
+        )[:TFIDF_TOP_K]
+        expected[doc_id] = [
+            (rank + 1, t, round(s, 6)) for rank, (t, s) in enumerate(scored)
+        ]
+    got = {}
+    for r in q_tfidf_top_terms(spark, sf_dir).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["rank"], r["term"], round(r["tfidf"], 6))
+        )
+    for doc_id in got:
+        got[doc_id].sort()
+    assert got == expected
