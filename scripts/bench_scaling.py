@@ -242,6 +242,31 @@ def main() -> None:
         c32 = _best(c32, pure_ceiling(32))
         r8 = _best(r8, spawn(8, UNIFORM_DIR, "default"))
         r32 = _best(r32, spawn(32, UNIFORM_DIR, "default"))
+
+    # Physical-bound consistency: the Spark-free process pool is by
+    # construction an UPPER bound for the Spark run at the same width, so
+    # a ceiling reading BELOW its Spark twin proves that ceiling sample
+    # never saw a quiet window (noise is one-sided — it can only slow a
+    # rep). Re-sample the violated ceiling in fresh windows until the
+    # bound holds (small tolerance for cross-window residue) or the extra
+    # budget runs out. Extension triggers ONLY on the a-priori invariant
+    # spark <= ceiling, never on the efficiency result itself.
+    MAX_EXTRA = 4
+    for width, (cref, rref) in (("8", (c8, r8)), ("32", (c32, r32))):
+        extra = 0
+        while (cref["docs_per_sec"] < 0.98 * rref["docs_per_sec"]
+               and extra < MAX_EXTRA):
+            extra += 1
+            print(f"ceiling {width} ({cref['docs_per_sec']:.0f} docs/s) reads "
+                  f"below its Spark twin ({rref['docs_per_sec']:.0f}) — "
+                  f"under-sampled, extra window {extra}/{MAX_EXTRA}:",
+                  file=sys.stderr)
+            cref2 = _best(cref, pure_ceiling(int(width)))
+            if width == "8":
+                c8 = cref2
+            else:
+                c32 = cref2
+            cref = cref2
     ceiling_eff = c32["docs_per_sec"] / (4 * c8["docs_per_sec"])
     raw_eff = r32["docs_per_sec"] / (4 * r8["docs_per_sec"])
     transfer_eff = raw_eff / ceiling_eff
@@ -286,9 +311,14 @@ def main() -> None:
                 "ratio. All runs taskset-confined; fresh JVM per config; "
                 "best of reps after a warm-up pass. Host noise is "
                 "one-sided (contention only slows reps), so each of the "
-                "four capabilities is sampled in 2 round-robin time "
-                "windows and takes its best — a single-window ratio can "
-                "be biased when one side lands in a noisy window."),
+                f"four capabilities is sampled in {ROUNDS} round-robin "
+                "time windows and takes its best — a single-window ratio "
+                "can be biased when one side lands in a noisy window. A "
+                "ceiling reading BELOW its same-width Spark twin violates "
+                "the a-priori bound spark <= no-Spark ceiling, proving "
+                "that ceiling never saw a quiet window; such ceilings are "
+                "re-sampled in extra windows (trigger is the physical "
+                "invariant only, never the efficiency result)."),
         },
         "skew_ablation": {
             "layout": ("200k docs; every 10th page of shard 0 jumbo, shard "
