@@ -56,6 +56,10 @@ _FRONT = [
     "pii_redact",
     "repetition_filter",
     "tfidf_top_terms",
+    "anchor_texts",
+    "crawl_delta",
+    "blocklist_filter",
+    "domain_mix_sample",
 ]
 
 #: long-stable singletons (multi-round green driver rows), rotated past
@@ -63,6 +67,10 @@ _FRONT = [
 #: last two make the 50-query boundary explicit rather than letting the
 #: module iteration order pick who falls out.
 _TAIL = [
+    "extract_spans",
+    "group_concat",
+    "pdf_extract",
+    "warc_extract",
     "semi_join_ids",
     "validity_filter",
     "clean_text_sql",

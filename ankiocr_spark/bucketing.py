@@ -199,5 +199,94 @@ FROM t FULL OUTER JOIN d ON t.url = d.url
 """
 
 
-QUERIES = {"merge_upsert": q_merge_upsert}
-ORACLE_SQL = {"merge_upsert": _oracle_merge_upsert()}
+# ---------------------------------------------------------------------------
+# Crawl snapshot delta — the read-side sibling of the MERGE upsert
+# ---------------------------------------------------------------------------
+
+
+def crawl_delta(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Diff two crawl snapshots keyed by url: which pages were added,
+    removed, changed (content digest differs), or unchanged — the report
+    an incremental re-crawl pipeline emits before deciding what to
+    re-extract (the read-side sibling of `merge_upsert`, which APPLIES
+    the delta this query DESCRIBES).
+
+    Inputs are (url, digest) relations; comparison is by content digest
+    (how real crawl-diff works — CDX dedup compares payload hashes, not
+    bodies). Scale shape: ONE full-outer sort-merge join on url; over
+    snapshots bucketed by url (`write_bucketed`) the join is
+    zero-Exchange exactly like the MERGE above, and the status column is
+    a codegen CASE over the join output."""
+    o = old.select("url", F.col("digest").alias("old_digest"))
+    n = new.select("url", F.col("digest").alias("new_digest"))
+    status = (
+        F.when(F.col("old_digest").isNull(), F.lit("added"))
+        .when(F.col("new_digest").isNull(), F.lit("removed"))
+        .when(F.col("old_digest") != F.col("new_digest"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return o.join(n, "url", "full_outer").select(
+        "url", status.alias("status"), "old_digest", "new_digest"
+    )
+
+
+def q_crawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff over the document corpus: the re-crawl drops every
+    17th page (removed), rewrites every 5th surviving page with an
+    'UPDATED ' prefix (changed), and discovers a brand-new page for every
+    7th doc (added) — the same delta shapes the MERGE fixture uses, so
+    all four status paths carry rows. Digest = md5(text): identical
+    closed form in Spark and DuckDB."""
+    from .ops import doc_url, load
+
+    docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    old = docs.select(
+        doc_url(F.col("doc_id")).alias("url"), F.md5("text").alias("digest")
+    )
+    survivors = docs.where(F.col("doc_id") % 17 != 0)
+    recrawled = survivors.select(
+        doc_url(F.col("doc_id")).alias("url"),
+        F.md5(
+            F.when(
+                F.col("doc_id") % 5 == 0, F.concat(F.lit("UPDATED "), F.col("text"))
+            ).otherwise(F.col("text"))
+        ).alias("digest"),
+    )
+    discovered = docs.where(F.col("doc_id") % 7 == 0).select(
+        doc_url(F.col("doc_id") + 1000000).alias("url"),
+        F.md5("text").alias("digest"),
+    )
+    return crawl_delta(old, recrawled.unionByName(discovered))
+
+
+def _oracle_crawl_delta() -> str:
+    from .ops import URL_PREFIX
+
+    return f"""
+WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+old AS (
+  SELECT '{URL_PREFIX}' || doc_id AS url, md5(text) AS digest FROM d),
+recrawled AS (
+  SELECT '{URL_PREFIX}' || doc_id AS url,
+         md5(CASE WHEN doc_id % 5 = 0 THEN 'UPDATED ' || text
+                  ELSE text END) AS digest
+  FROM d WHERE doc_id % 17 <> 0),
+discovered AS (
+  SELECT '{URL_PREFIX}' || (doc_id + 1000000) AS url, md5(text) AS digest
+  FROM d WHERE doc_id % 7 = 0),
+new AS (SELECT * FROM recrawled UNION ALL SELECT * FROM discovered)
+SELECT coalesce(old.url, new.url) AS url,
+       CASE WHEN old.digest IS NULL THEN 'added'
+            WHEN new.digest IS NULL THEN 'removed'
+            WHEN old.digest <> new.digest THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       old.digest AS old_digest, new.digest AS new_digest
+FROM old FULL OUTER JOIN new ON old.url = new.url
+"""
+
+
+QUERIES = {"merge_upsert": q_merge_upsert, "crawl_delta": q_crawl_delta}
+ORACLE_SQL = {
+    "merge_upsert": _oracle_merge_upsert(),
+    "crawl_delta": _oracle_crawl_delta(),
+}

@@ -226,14 +226,162 @@ FROM ranked WHERE rank <= {TFIDF_TOP_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# Domain blocklist filter — the URL-level gate before any content work
+# ---------------------------------------------------------------------------
+
+#: blocked hosts — tiny here; production blocklists run 10^6+ entries,
+#: which is why the implementation joins a broadcast relation instead of
+#: inlining an isin() literal into the plan.
+BLOCKED_HOSTS = ("h3.example.org", "h7.example.org")
+
+#: URL pattern rule (shared Java-regex/RE2 subset, like the PII patterns)
+BLOCK_PATH_RE = "/doc/[0-9]*13$"
+
+
+def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level blocklist gate: flag pages on blocked hosts or matching
+    a banned URL pattern — the cheapest curation pass, run FIRST because
+    it needs no content, only the url column. Hosts are synthesized
+    deterministically (doc_id % 11 shards the corpus over 11 hosts) so
+    both rules bite a real slice.
+
+    Scale shape: the host verdict is a BROADCAST left join against the
+    blocklist relation (a 10^6-entry production blocklist broadcasts in
+    MBs; the corpus side never shuffles), and the pattern verdict is a
+    codegen rlike fused into the same projection — zero exchanges
+    total. Emits the verdicts plus `kept` so downstream re-thresholds
+    without recompute (the repetition_filter contract)."""
+    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    host = F.concat(
+        F.lit("h"), (F.col("doc_id") % 11).cast("string"), F.lit(".example.org")
+    )
+    url = F.concat(
+        F.lit("https://"), host, F.lit("/doc/"), F.col("doc_id").cast("string")
+    )
+    pages = docs.select("doc_id", host.alias("host"), url.alias("url"))
+    blocklist = spark.createDataFrame(
+        [(h,) for h in BLOCKED_HOSTS], "host string"
+    ).withColumn("blocked_host", F.lit(True))
+    joined = pages.join(F.broadcast(blocklist), "host", "left")
+    blocked_host = F.coalesce("blocked_host", F.lit(False))
+    blocked_path = F.col("url").rlike(BLOCK_PATH_RE)
+    return joined.select(
+        "doc_id",
+        "url",
+        "host",
+        blocked_host.alias("blocked_host"),
+        blocked_path.alias("blocked_path"),
+        (~(blocked_host | blocked_path)).alias("kept"),
+    )
+
+
+ORACLE_BLOCKLIST = f"""
+WITH pages AS (
+  SELECT doc_id,
+         'h' || (doc_id % 11) || '.example.org' AS host,
+         'https://h' || (doc_id % 11) || '.example.org/doc/' || doc_id AS url
+  FROM documents WHERE text IS NOT NULL),
+bl(host) AS (VALUES {", ".join(f"('{h}')" for h in BLOCKED_HOSTS)}),
+v AS (
+  SELECT doc_id, url, host,
+         host IN (SELECT host FROM bl) AS blocked_host,
+         regexp_matches(url, '{BLOCK_PATH_RE}') AS blocked_path
+  FROM pages)
+SELECT doc_id, url, host, blocked_host, blocked_path,
+       NOT (blocked_host OR blocked_path) AS kept
+FROM v
+"""
+
+
+# ---------------------------------------------------------------------------
+# Domain-mixture sampling — the data-mixing step before training
+# ---------------------------------------------------------------------------
+
+#: target language mixture (sums to 1). fr is deliberately oversubscribed
+#: relative to its corpus share (≤0.17 at every shipped sf) so the
+#: min(1, ·) rate cap carries rows.
+TARGET_MIX = {"en": 0.25, "zh": 0.15, "es": 0.15, "de": 0.15, "fr": 0.30}
+
+#: fraction of the corpus the mixed sample may total
+MIX_BUDGET_FRAC = 0.6
+
+#: Knuth multiplicative hash → uniform [0,1) — pure int64 arithmetic so
+#: Spark and DuckDB produce bit-identical doubles (the production swap-in
+#: is xxhash64(url), which DuckDB cannot replicate). Dividing by 2^32 is
+#: exact in IEEE double.
+_MIX_MULT = 2654435761
+_MIX_MOD = 4294967296
+
+
+def q_domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture sampling: compute a per-language acceptance
+    rate from the corpus's own language counts and a target mixture, then
+    keep each doc iff its hash-uniform draw clears the rate — the
+    data-mixing pass that reweights a web corpus toward a training
+    mixture (upsampling capped at 1: selection cannot mint documents).
+
+    Scale shape: ONE tiny aggregate (per-lang counts — 5 rows) extended
+    with the corpus total by a window over the 5-row relation, then
+    BROADCAST-joined back onto the corpus; the per-doc draw and verdict
+    are codegen arithmetic in the same projection. The corpus itself
+    never shuffles, and no driver collect touches the data path."""
+    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_lang"))
+    counts = counts.withColumn(
+        "n_total", F.sum("n_lang").over(Window.partitionBy())
+    )
+    target = F.create_map(
+        *[F.lit(x) for kv in TARGET_MIX.items() for x in kv]
+    )
+    rate = F.least(
+        F.lit(1.0),
+        target[F.col("lang")]
+        * (F.lit(MIX_BUDGET_FRAC) * F.col("n_total"))
+        / F.col("n_lang"),
+    )
+    u = ((F.col("doc_id") * _MIX_MULT) % _MIX_MOD) / F.lit(float(_MIX_MOD))
+    return docs.join(F.broadcast(counts), "lang").select(
+        "doc_id",
+        "lang",
+        F.round(rate, 6).alias("rate"),
+        (u < rate).alias("sampled"),
+    )
+
+
+#: every fractional literal below is cast ::DOUBLE — DuckDB parses bare
+#: decimal literals as DECIMAL and computes fixed-point, which would
+#: diverge from Spark's IEEE doubles in the last bits.
+ORACLE_MIX = f"""
+WITH d AS (SELECT doc_id, lang FROM documents WHERE text IS NOT NULL),
+counts AS (
+  SELECT lang, count(*) AS n_lang, sum(count(*)) OVER () AS n_total
+  FROM d GROUP BY lang),
+tgt(lang, w) AS (VALUES {", ".join(f"('{k}', {v}::DOUBLE)" for k, v in TARGET_MIX.items())}),
+rated AS (
+  SELECT d.doc_id, d.lang,
+         least(1.0::DOUBLE,
+               w * ({MIX_BUDGET_FRAC}::DOUBLE * n_total) / n_lang) AS rate
+  FROM d JOIN counts USING (lang) JOIN tgt USING (lang))
+SELECT doc_id, lang, round(rate, 6) AS rate,
+       ((doc_id * {_MIX_MULT}) % {_MIX_MOD})::DOUBLE / {float(_MIX_MOD)}::DOUBLE
+         < rate AS sampled
+FROM rated
+"""
+
+
 QUERIES = {
     "pii_redact": q_pii_redact,
     "repetition_filter": q_repetition_filter,
     "tfidf_top_terms": q_tfidf_top_terms,
+    "blocklist_filter": q_blocklist_filter,
+    "domain_mix_sample": q_domain_mix_sample,
 }
 
 ORACLE_SQL = {
     "pii_redact": ORACLE_PII_REDACT,
     "repetition_filter": ORACLE_REPETITION,
     "tfidf_top_terms": ORACLE_TFIDF,
+    "blocklist_filter": ORACLE_BLOCKLIST,
+    "domain_mix_sample": ORACLE_MIX,
 }

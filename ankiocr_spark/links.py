@@ -425,15 +425,176 @@ FROM norm
 """
 
 
+# ---------------------------------------------------------------------------
+# Anchor-text aggregation — the inlink-text document representation
+# ---------------------------------------------------------------------------
+
+#: per-target cap on the materialized distinct-anchor sample. At 10^12
+#: pages a popular target (a homepage) collects millions of distinct
+#: anchor strings; an uncapped collect_set on that key is the classic
+#: skewed-agg OOM. The counts stay exact — only the sampled anchor list
+#: is truncated. The fixture's closed form never exceeds 2 per target,
+#: so the oracle ignores the cap.
+MAX_ANCHOR_SAMPLE = 8
+
+
+class _AnchorParser(HTMLParser):
+    """Collects (href, visible anchor text) per <a href>, document order.
+    Same stdlib parser + convert_charrefs contract as _LinkParser; anchor
+    text is whitespace-normalized (entities already resolved)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.pairs: List[Tuple[str, str]] = []
+        self._href: str | None = None
+        self._buf: List[str] = []
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag != "a":
+            return
+        for k, v in attrs:
+            if k == "href" and v and not v.startswith("#"):
+                self._href = v
+                self._buf = []
+                return
+
+    def handle_data(self, data: str) -> None:
+        if self._href is not None:
+            self._buf.append(data)
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag == "a" and self._href is not None:
+            self.pairs.append((self._href, " ".join("".join(self._buf).split())))
+            self._href = None
+            self._buf = []
+
+
+def extract_anchor_pairs(base_url: str, html) -> List[Tuple[str, str]]:
+    """(absolute_target, anchor_text) per anchor, document order."""
+    if isinstance(html, (bytes, bytearray, memoryview)):
+        from .kernel import _decode
+
+        text = _decode(html)
+    else:
+        text = str(html)
+    p = _AnchorParser()
+    p.feed(text)
+    p.close()
+    return [(urljoin(base_url, href), anchor) for href, anchor in p.pairs]
+
+
+ANCHORS_SCHEMA = "url string, target string, anchor string"
+
+
+def _anchor_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+    import pandas as pd
+
+    cols = ["url", "target", "anchor"]
+    for pdf in batches:
+        rows = []
+        for url, html in zip(pdf["url"].tolist(), pdf["html"].tolist()):
+            if html is None:
+                continue
+            try:
+                for target, anchor in extract_anchor_pairs(url, html):
+                    rows.append((url, target, anchor))
+            except Exception:
+                continue  # quarantined by the text-mode job; anchors skip
+        yield pd.DataFrame(rows, columns=cols)
+
+
+def aggregate_anchor_texts(pages: DataFrame) -> DataFrame:
+    """pages(url, html) → per-target inlink summary: how many anchors
+    point at each target and what text they use — the inlink-text
+    document representation search/quality pipelines attach to a page
+    (the link-graph sibling of extracted body text).
+
+    Scale shape: one mapInPandas explode (the outlinks stage with anchor
+    text kept), then ONE hash exchange on `target` with map-side partial
+    aggregation; counts are exact, and the distinct-anchor sample is
+    capped at MAX_ANCHOR_SAMPLE per key so a billion-inlink homepage
+    cannot OOM the agg. Output is scalar-only (the sampled set joins to
+    a '|'-string — the driver canonicalizer rejects array columns)."""
+    from pyspark.sql import functions as F
+
+    pairs = pages.select("url", "html").mapInPandas(
+        _anchor_batches, ANCHORS_SCHEMA
+    )
+    return pairs.groupBy("target").agg(
+        F.count("*").alias("n_refs"),
+        F.countDistinct("anchor").alias("n_anchors"),
+        F.concat_ws(
+            "|",
+            F.slice(
+                F.array_sort(F.collect_set("anchor")), 1, MAX_ANCHOR_SAMPLE
+            ),
+        ).alias("anchors"),
+    )
+
+
+def q_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor aggregation over the wrapped pages plus one per-doc citation
+    anchor embedded in the paragraph (`/ref/{doc_id % 20}` with text
+    `see {doc_id % 40}`), so targets collect MULTIPLE distinct anchor
+    strings and the closed form stays oracle-able: 5 wrap anchors with
+    corpus-wide counts + 20 /ref/ targets each referenced by two
+    doc_id residues."""
+    from .ops import doc_url, load, wrap_html
+
+    from pyspark.sql import functions as F
+
+    docs = load(spark, sf_dir, "documents")
+    cite = F.concat(
+        F.lit(' <a href="/ref/'),
+        (F.col("doc_id") % 20).cast("string"),
+        F.lit('">see '),
+        (F.col("doc_id") % 40).cast("string"),
+        F.lit("</a>"),
+    )
+    pages = docs.select(
+        doc_url(F.col("doc_id")).alias("url"),
+        wrap_html(F.concat(F.col("text"), cite)).alias("html"),
+    )
+    return aggregate_anchor_texts(pages)
+
+
+def _oracle_anchor_texts() -> str:
+    from .ops import URL_PREFIX  # noqa: F401  (wrap targets are absolute)
+
+    return """
+WITH d AS (SELECT doc_id FROM documents WHERE text IS NOT NULL),
+fixed(path, anchor) AS (
+  VALUES ('', 'home'), ('about', 'about'), ('a', 'alpha beta'),
+         ('b', 'gamma delta'), ('c', 'epsilon zeta')),
+fx AS (
+  SELECT 'https://example.org/' || path AS target,
+         (SELECT count(*) FROM d)::BIGINT AS n_refs,
+         1::BIGINT AS n_anchors, anchor AS anchors
+  FROM fixed),
+cites AS (
+  SELECT 'https://example.org/ref/' || (doc_id % 20) AS target,
+         'see ' || (doc_id % 40) AS anchor
+  FROM d),
+refs AS (
+  SELECT target, count(*)::BIGINT AS n_refs,
+         count(DISTINCT anchor)::BIGINT AS n_anchors,
+         array_to_string(list_sort(list(DISTINCT anchor)), '|') AS anchors
+  FROM cites GROUP BY target)
+SELECT * FROM fx UNION ALL SELECT * FROM refs
+"""
+
+
 QUERIES = {
     "outlinks": q_outlinks,
     "pagerank": q_pagerank,
     "outlinks_pagerank": q_outlinks_pagerank,
     "url_normalize": q_url_normalize,
+    "anchor_texts": q_anchor_texts,
 }
 ORACLE_SQL = {
     "outlinks": _oracle_outlinks(),
     "pagerank": _oracle_pagerank(),
     "outlinks_pagerank": _oracle_outlinks_pagerank(),
     "url_normalize": _oracle_url_normalize(),
+    "anchor_texts": _oracle_anchor_texts(),
 }

@@ -64,6 +64,10 @@ AUDIT = [
     "repetition_filter",
     "tfidf_top_terms",
     "dedup_cc_clusters",
+    "anchor_texts",
+    "crawl_delta",
+    "blocklist_filter",
+    "domain_mix_sample",
 ]
 
 #: caveats rendered under the flags line — mostly for iterative queries,

@@ -127,3 +127,24 @@ def test_merge_upsert_rejects_duplicate_delta_keys(spark):
         spark.sql("DROP TABLE IF EXISTS m_t2")
         spark.sql("DROP TABLE IF EXISTS m_d2")
         spark.sql("DROP TABLE IF EXISTS m_d2n")
+
+
+def test_crawl_delta_statuses(spark):
+    from ankiocr_spark.bucketing import crawl_delta
+
+    old = spark.createDataFrame(
+        [("u1", "a"), ("u2", "b"), ("u3", "c")], "url string, digest string"
+    )
+    new = spark.createDataFrame(
+        [("u2", "b"), ("u3", "X"), ("u4", "d")], "url string, digest string"
+    )
+    got = {r["url"]: r for r in crawl_delta(old, new).collect()}
+    assert {u: r["status"] for u, r in got.items()} == {
+        "u1": "removed",
+        "u2": "unchanged",
+        "u3": "changed",
+        "u4": "added",
+    }
+    assert got["u1"]["new_digest"] is None and got["u1"]["old_digest"] == "a"
+    assert got["u4"]["old_digest"] is None and got["u4"]["new_digest"] == "d"
+    assert (got["u3"]["old_digest"], got["u3"]["new_digest"]) == ("c", "X")

@@ -127,3 +127,63 @@ def test_tfidf_top_terms_matches_python(spark, sf_dir):
     for doc_id in got:
         got[doc_id].sort()
     assert got == expected
+
+
+def test_blocklist_filter_rules_match_python(spark, sf_dir):
+    from ankiocr_spark.datapipe.curation import (
+        BLOCK_PATH_RE,
+        BLOCKED_HOSTS,
+        q_blocklist_filter,
+    )
+
+    got = {r["doc_id"]: r for r in q_blocklist_filter(spark, sf_dir).collect()}
+    pat = re.compile(BLOCK_PATH_RE)
+    by_host = by_path = kept = 0
+    for doc_id, _ in _rows(sf_dir):
+        r = got[doc_id]
+        host = f"h{doc_id % 11}.example.org"
+        url = f"https://{host}/doc/{doc_id}"
+        assert (r["host"], r["url"]) == (host, url)
+        assert r["blocked_host"] == (host in BLOCKED_HOSTS)
+        assert r["blocked_path"] == bool(pat.search(url))
+        assert r["kept"] == (not r["blocked_host"] and not r["blocked_path"])
+        by_host += r["blocked_host"]
+        by_path += r["blocked_path"]
+        kept += r["kept"]
+    # both rules bite and most of the corpus survives
+    assert by_host > 0 and by_path > 0 and kept > max(by_host, by_path)
+
+
+def test_domain_mix_sample_rates_cap_and_determinism(spark, sf_dir):
+    from ankiocr_spark.datapipe.curation import (
+        MIX_BUDGET_FRAC,
+        TARGET_MIX,
+        _MIX_MOD,
+        _MIX_MULT,
+        q_domain_mix_sample,
+    )
+
+    langs = [
+        (doc_id, lang)
+        for doc_id, lang in duckdb.sql(
+            f"SELECT doc_id, lang FROM read_parquet('{sf_dir}/documents.parquet') "
+            "WHERE text IS NOT NULL"
+        ).fetchall()
+    ]
+    n_total = len(langs)
+    n_lang = Counter(lang for _, lang in langs)
+    rates = {
+        lang: min(1.0, TARGET_MIX[lang] * (MIX_BUDGET_FRAC * n_total) / n)
+        for lang, n in n_lang.items()
+    }
+    got = {r["doc_id"]: r for r in q_domain_mix_sample(spark, sf_dir).collect()}
+    assert len(got) == n_total
+    for doc_id, lang in langs:
+        r = got[doc_id]
+        assert r["lang"] == lang
+        assert abs(r["rate"] - round(rates[lang], 6)) <= 1e-9
+        u = ((doc_id * _MIX_MULT) % _MIX_MOD) / _MIX_MOD
+        assert r["sampled"] == (u < rates[lang])
+    # the oversubscribed language is capped: selection cannot mint docs
+    assert max(rates.values()) == 1.0
+    assert min(rates.values()) < 1.0

@@ -140,3 +140,44 @@ def test_pagerank_variable_outdegree_and_dangling(spark):
     for v in nodes:
         assert abs(got[v] - want[v]) < 1e-12, (v, got[v], want[v])
     assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_anchor_pairs_text_normalization_and_skips():
+    from ankiocr_spark.links import extract_anchor_pairs
+
+    html = (
+        b'<a href="/x">Hello <b>World</b>!</a>'
+        b'<a href="#frag">skipped</a>'
+        b'<a href="/empty"></a>'
+        b'<a href="rel">  spaced\n   text </a>'
+    )
+    pairs = extract_anchor_pairs("https://e.org/dir/page.html", html)
+    assert pairs == [
+        ("https://e.org/x", "Hello World!"),
+        ("https://e.org/empty", ""),
+        ("https://e.org/dir/rel", "spaced text"),
+    ]
+
+
+def test_anchor_aggregation_exact_counts_and_capped_sample(spark):
+    from ankiocr_spark.links import MAX_ANCHOR_SAMPLE, aggregate_anchor_texts
+
+    # 20 pages all linking to one target with 20 distinct anchors: counts
+    # stay exact, the materialized anchor sample is capped and sorted
+    rows = [
+        (
+            f"https://e.org/p{i}",
+            f'<html><body><a href="/hub">label {i:02d}</a></body></html>'.encode(),
+        )
+        for i in range(20)
+    ]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    out = aggregate_anchor_texts(pages).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["target"] == "https://e.org/hub"
+    assert r["n_refs"] == 20 and r["n_anchors"] == 20
+    sample = r["anchors"].split("|")
+    assert len(sample) == MAX_ANCHOR_SAMPLE
+    assert sample == sorted(sample)
+    assert sample[0] == "label 00"
