@@ -58,6 +58,7 @@ _FRONT = [
     "tfidf_top_terms",
     "anchor_texts",
     "crawl_delta",
+    "incremental_extract",
     "blocklist_filter",
     "domain_mix_sample",
 ]
@@ -67,6 +68,7 @@ _FRONT = [
 #: last two make the 50-query boundary explicit rather than letting the
 #: module iteration order pick who falls out.
 _TAIL = [
+    "multimodal_meta",
     "extract_spans",
     "group_concat",
     "pdf_extract",

@@ -15,6 +15,8 @@ machinery required by the scale target (SURVEY.md §2.1 last paragraph).
 
 from __future__ import annotations
 
+from typing import Tuple
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -285,8 +287,125 @@ FROM old FULL OUTER JOIN new ON old.url = new.url
 """
 
 
-QUERIES = {"merge_upsert": q_merge_upsert, "crawl_delta": q_crawl_delta}
+# ---------------------------------------------------------------------------
+# Incremental extraction — kernel cost proportional to the DELTA
+# ---------------------------------------------------------------------------
+
+
+def split_incremental(
+    old_extracts: DataFrame, new_pages: DataFrame
+) -> Tuple[DataFrame, DataFrame]:
+    """Partition a new crawl snapshot against the previous extract table:
+    (reuse, to_extract) where `reuse` carries forward the old extracted
+    text for pages whose content digest is unchanged, and `to_extract` is
+    ONLY the added/changed pages — the relation the kernel must run on.
+
+    This is THE 100-TB economics of a recurring crawl: a weekly re-crawl
+    of 10^12 pages changes a few percent, so the extraction kernel (the
+    dominant cost, BENCH §1) must scale with the delta, not the corpus.
+    Scale shape: one join on url (zero-Exchange over url-bucketed
+    snapshots, as with `crawl_delta`); digest compare is codegen; the
+    heavy html payload column never enters the join's shuffle on the old
+    side (old carries only url+digest+text)."""
+    old = old_extracts.select(
+        "url",
+        F.col("digest").alias("old_digest"),
+        F.col("extracted_text").alias("old_text"),
+    )
+    new = new_pages.withColumn("digest", F.md5("html"))
+    j = new.join(old, "url", "left")
+    # null-safe equality: a page with NULL html (digest NULL) must fall
+    # through to the kernel (which quarantines it), not vanish from both
+    # branches because the comparison is three-valued.
+    unchanged = F.col("old_digest").isNotNull() & F.col("digest").eqNullSafe(
+        F.col("old_digest")
+    )
+    reuse = j.where(unchanged).select(
+        "url", F.col("old_text").alias("extracted_text")
+    )
+    to_extract = j.where(~unchanged).select(*new_pages.columns)
+    return reuse, to_extract
+
+
+def incremental_extract(
+    spark: SparkSession,
+    old_extracts: DataFrame,
+    new_pages: DataFrame,
+    cfg=None,
+) -> DataFrame:
+    """New snapshot's extract table = carried-forward unchanged rows ∪
+    kernel output over added/changed pages only."""
+    from .job import run_extract
+
+    reuse, to_extract = split_incremental(old_extracts, new_pages)
+    fresh = run_extract(spark, to_extract, cfg).select("url", "extracted_text")
+    return reuse.unionByName(fresh)
+
+
+def q_incremental_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: re-crawl fixture (every 17th page gone, every 5th
+    survivor rewritten with an 'UPDATED ' prefix, a new page per 7th doc)
+    extracted INCREMENTALLY against the previous flagship extract table.
+    The result equals a full extract of the new snapshot (the closed-form
+    oracle), but the kernel only saw the added/changed slice —
+    `tests/test_bucketing.py` asserts that input count exactly."""
+    from .config import ExtractConfig
+    from .job import run_extract
+    from .ops import doc_url, docs_as_pages, load, wrap_html
+
+    cfg = ExtractConfig(salt_buckets=8)
+    old_pages = docs_as_pages(spark, sf_dir).where(F.col("html").isNotNull())
+    old_extracts = run_extract(spark, old_pages, cfg).select(
+        "url", "extracted_text"
+    ).join(
+        old_pages.select("url", F.md5("html").alias("digest")), "url"
+    )
+    docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    survivors = docs.where(F.col("doc_id") % 17 != 0)
+    recrawled = survivors.select(
+        doc_url(F.col("doc_id")).alias("url"),
+        wrap_html(
+            F.when(
+                F.col("doc_id") % 5 == 0, F.concat(F.lit("UPDATED "), F.col("text"))
+            ).otherwise(F.col("text"))
+        ).alias("html"),
+        F.lit(None).cast("string").alias("lang"),
+    )
+    discovered = docs.where(F.col("doc_id") % 7 == 0).select(
+        doc_url(F.col("doc_id") + 1000000).alias("url"),
+        wrap_html(F.col("text")).alias("html"),
+        F.lit(None).cast("string").alias("lang"),
+    )
+    return incremental_extract(
+        spark, old_extracts, recrawled.unionByName(discovered), cfg
+    )
+
+
+def _oracle_incremental_extract() -> str:
+    from .ops import URL_PREFIX, extract_case_sql as extract
+
+    return f"""
+WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+survivors AS (
+  SELECT '{URL_PREFIX}' || doc_id AS url,
+         {extract("CASE WHEN doc_id % 5 = 0 THEN 'UPDATED ' || text ELSE text END")}
+           AS extracted_text
+  FROM d WHERE doc_id % 17 <> 0),
+discovered AS (
+  SELECT '{URL_PREFIX}' || (doc_id + 1000000) AS url,
+         {extract("text")} AS extracted_text
+  FROM d WHERE doc_id % 7 = 0)
+SELECT * FROM survivors UNION ALL SELECT * FROM discovered
+"""
+
+
+QUERIES = {
+    "merge_upsert": q_merge_upsert,
+    "crawl_delta": q_crawl_delta,
+    "incremental_extract": q_incremental_extract,
+}
 ORACLE_SQL = {
     "merge_upsert": _oracle_merge_upsert(),
     "crawl_delta": _oracle_crawl_delta(),
+    "incremental_extract": _oracle_incremental_extract(),
 }

@@ -66,6 +66,7 @@ AUDIT = [
     "dedup_cc_clusters",
     "anchor_texts",
     "crawl_delta",
+    "incremental_extract",
     "blocklist_filter",
     "domain_mix_sample",
 ]
@@ -94,6 +95,16 @@ NOTES = {
         "The Iceberg MERGE analog: full-outer SortMergeJoin over two "
         "same-bucketed, sort-ordered tables — zero Exchange, zero Sort "
         "(bucketed scan exposes the hash partitioning and order)."
+    ),
+    "incremental_extract": (
+        "The scan/join inflation is the FIXTURE, not the operator: the "
+        "driver query must synthesize the previous extract table and the "
+        "re-crawl snapshot from the same documents source (4 scans + the "
+        "old side's url join). In production both inputs are materialized "
+        "tables and the operator itself is ONE left join on url (zero-"
+        "Exchange over url-bucketed snapshots, as `merge_upsert` "
+        "demonstrates) feeding the kernel ONLY the added/changed slice — "
+        "`tests/test_bucketing.py` asserts that kernel-input count."
     ),
     "dedup_cc_clusters": (
         "Iterative min-label propagation; the printed tree is just the "

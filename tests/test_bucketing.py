@@ -148,3 +148,64 @@ def test_crawl_delta_statuses(spark):
     assert got["u1"]["new_digest"] is None and got["u1"]["old_digest"] == "a"
     assert got["u4"]["old_digest"] is None and got["u4"]["new_digest"] == "d"
     assert (got["u3"]["old_digest"], got["u3"]["new_digest"]) == ("c", "X")
+
+
+def test_incremental_extract_kernel_sees_only_the_delta(spark, sf_dir):
+    """The whole point of incremental extraction: the kernel input is the
+    added/changed slice, never the full snapshot — and reusing old rows
+    is value-identical to a full re-extract."""
+    import duckdb
+
+    from ankiocr_spark.bucketing import q_incremental_extract, split_incremental
+    from ankiocr_spark.config import ExtractConfig
+    from ankiocr_spark.job import run_extract
+    from ankiocr_spark.ops import docs_as_pages
+
+    n_docs, n_changed, n_added, n_unchanged = duckdb.sql(
+        f"""
+        SELECT count(*),
+               count(*) FILTER (doc_id % 17 <> 0 AND doc_id % 5 = 0),
+               count(*) FILTER (doc_id % 7 = 0),
+               count(*) FILTER (doc_id % 17 <> 0 AND doc_id % 5 <> 0)
+        FROM read_parquet('{sf_dir}/documents.parquet')
+        WHERE text IS NOT NULL
+        """
+    ).fetchone()
+
+    out = q_incremental_extract(spark, sf_dir)
+    assert out.count() == n_unchanged + n_changed + n_added
+
+    # split_incremental's to_extract relation is exactly the delta
+    from pyspark.sql import functions as SF
+
+    cfg = ExtractConfig(salt_buckets=8)
+    old_pages = docs_as_pages(spark, sf_dir).where(SF.col("html").isNotNull())
+    old_extracts = run_extract(spark, old_pages, cfg).select(
+        "url", "extracted_text"
+    ).join(old_pages.select("url", SF.md5("html").alias("digest")), "url")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        SF.col("text").isNotNull()
+    )
+    from ankiocr_spark.ops import doc_url, wrap_html
+
+    survivors = docs.where(SF.col("doc_id") % 17 != 0)
+    recrawled = survivors.select(
+        doc_url(SF.col("doc_id")).alias("url"),
+        wrap_html(
+            SF.when(
+                SF.col("doc_id") % 5 == 0,
+                SF.concat(SF.lit("UPDATED "), SF.col("text")),
+            ).otherwise(SF.col("text"))
+        ).alias("html"),
+        SF.lit(None).cast("string").alias("lang"),
+    )
+    discovered = docs.where(SF.col("doc_id") % 7 == 0).select(
+        doc_url(SF.col("doc_id") + 1000000).alias("url"),
+        wrap_html(SF.col("text")).alias("html"),
+        SF.lit(None).cast("string").alias("lang"),
+    )
+    reuse, to_extract = split_incremental(
+        old_extracts, recrawled.unionByName(discovered)
+    )
+    assert to_extract.count() == n_changed + n_added
+    assert reuse.count() == n_unchanged
