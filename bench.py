@@ -42,6 +42,11 @@ HEADLINE = [
 #: of the r3 headline).
 SECONDARY = [
     "dedup_ngram_jaccard",
+    # the delta-economics showcase: value-equals a full re-extract but the
+    # kernel sees only the added/changed slice. Timed for visibility; not
+    # headline because the sf-table fixture must synthesize BOTH snapshots
+    # (two kernel passes) — production reads the old extract table.
+    "incremental_extract",
 ]
 
 
