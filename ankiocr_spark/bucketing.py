@@ -89,9 +89,14 @@ def merge_upsert(
     ``raise_error`` FILTER fires at ACTION time, which is exactly when
     Iceberg's own multiple-match check fires. A filter (not a guarded
     projection — column pruning would elide that under ``count()``-style
-    actions) is evaluated under every action. Disable the check for
-    deltas already deduped upstream, e.g. by the streaming url-dedup
-    ingest.
+    actions) is evaluated under every action. One narrowing vs the eager
+    pre-check it replaced (review find): a PARTIAL action — ``show(5)``,
+    ``limit(k)``, ``first()`` — only evaluates the rows it touches, so an
+    invalid delta whose duplicate rows sort late can pass a peek and only
+    raise on the full materialization; MERGE consumers materialize fully
+    (the write is the action), so the contract holds where it matters.
+    Disable the check for deltas already deduped upstream, e.g. by the
+    streaming url-dedup ingest.
 
     NULL keys can never match a target row (the join condition is
     null-rejecting), so multiple NULL-key delta rows cannot fan out —

@@ -40,7 +40,9 @@ TFIDF_TOP_K = 3
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from ankiocr_spark.ops import load  # one definition of the table path
+
+    return load(spark, sf_dir, "documents")
 
 
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -325,8 +327,17 @@ def q_domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the corpus total by a window over the 5-row relation, then
     BROADCAST-joined back onto the corpus; the per-doc draw and verdict
     are codegen arithmetic in the same projection. The corpus itself
-    never shuffles, and no driver collect touches the data path."""
-    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    never shuffles, and no driver collect touches the data path.
+
+    Languages OUTSIDE the target mixture have weight 0 by definition and
+    are dropped up front (filter pushed into the scan). Without the
+    explicit filter a NULL map-lookup would flow into F.least and win as
+    rate 1.0 — silently upsampling exactly the languages the mixture
+    excludes (review find; latent because every shipped fixture carries
+    only the five target langs)."""
+    docs = _docs(spark, sf_dir).where(
+        F.col("text").isNotNull() & F.col("lang").isin(list(TARGET_MIX))
+    )
     counts = docs.groupBy("lang").agg(F.count("*").alias("n_lang"))
     counts = counts.withColumn(
         "n_total", F.sum("n_lang").over(Window.partitionBy())
@@ -353,7 +364,9 @@ def q_domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: decimal literals as DECIMAL and computes fixed-point, which would
 #: diverge from Spark's IEEE doubles in the last bits.
 ORACLE_MIX = f"""
-WITH d AS (SELECT doc_id, lang FROM documents WHERE text IS NOT NULL),
+WITH d AS (SELECT doc_id, lang FROM documents
+           WHERE text IS NOT NULL
+             AND lang IN ({", ".join(f"'{k}'" for k in TARGET_MIX)})),
 counts AS (
   SELECT lang, count(*) AS n_lang, sum(count(*)) OVER () AS n_total
   FROM d GROUP BY lang),

@@ -615,7 +615,21 @@ def q_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded = corpus.select(
         "doc_id", F.posexplode(paras).alias("para_idx", "paragraph")
     )
-    pack = F.col("doc_id") * F.lit(1 << 20) + F.col("para_idx")
+    # 20 bits of para_idx + 43 bits of doc_id fit one signed bigint; a
+    # pathological ≥2^20-paragraph page (~12.6M tokens) would bleed into
+    # the doc_id bits and elect a WRONG keeper silently — fail loudly
+    # instead (codegen branch, no measurable cost; review find)
+    pack = F.when(
+        F.col("para_idx") < F.lit(1 << 20),
+        F.col("doc_id") * F.lit(1 << 20) + F.col("para_idx"),
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "dedup_paragraph: para_idx >= 2^20 (document longer than "
+                "~12.6M tokens) — widen the pack or pre-split the page"
+            )
+        )
+    )
     return (
         exploded.groupBy("paragraph")
         .agg(F.min(pack).alias("_pack"))

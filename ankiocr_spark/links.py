@@ -441,7 +441,13 @@ MAX_ANCHOR_SAMPLE = 8
 class _AnchorParser(HTMLParser):
     """Collects (href, visible anchor text) per <a href>, document order.
     Same stdlib parser + convert_charrefs contract as _LinkParser; anchor
-    text is whitespace-normalized (entities already resolved)."""
+    text is whitespace-normalized (entities already resolved). A second
+    <a> opening before the first closes implicitly closes it (the HTML5
+    rule browsers apply), and a page truncated inside an anchor still
+    emits the pending pair on close() — otherwise both shapes would
+    silently drop anchors that _LinkParser (starttag-based) counts,
+    making the two link-graph representations disagree on the same page
+    (review find)."""
 
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
@@ -449,9 +455,16 @@ class _AnchorParser(HTMLParser):
         self._href: str | None = None
         self._buf: List[str] = []
 
+    def _flush(self) -> None:
+        if self._href is not None:
+            self.pairs.append((self._href, " ".join("".join(self._buf).split())))
+            self._href = None
+            self._buf = []
+
     def handle_starttag(self, tag: str, attrs) -> None:
         if tag != "a":
             return
+        self._flush()  # implicit close of a still-open anchor
         for k, v in attrs:
             if k == "href" and v and not v.startswith("#"):
                 self._href = v
@@ -463,10 +476,12 @@ class _AnchorParser(HTMLParser):
             self._buf.append(data)
 
     def handle_endtag(self, tag: str) -> None:
-        if tag == "a" and self._href is not None:
-            self.pairs.append((self._href, " ".join("".join(self._buf).split())))
-            self._href = None
-            self._buf = []
+        if tag == "a":
+            self._flush()
+
+    def close(self) -> None:
+        super().close()
+        self._flush()  # page truncated mid-anchor
 
 
 def extract_anchor_pairs(base_url: str, html) -> List[Tuple[str, str]]:

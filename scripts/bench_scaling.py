@@ -229,6 +229,8 @@ def main() -> None:
     # ceiling lands in a quiet window and the Spark run in a noisy one,
     # their RATIO is biased. Sample every capability in ROUNDS separate
     # windows, round-robin, and take each one's best across rounds.
+    if args.rounds < 1:
+        ap.error("--rounds must be >= 1")
     ROUNDS = args.rounds
 
     def _best(a, b):

@@ -181,3 +181,19 @@ def test_anchor_aggregation_exact_counts_and_capped_sample(spark):
     assert len(sample) == MAX_ANCHOR_SAMPLE
     assert sample == sorted(sample)
     assert sample[0] == "label 00"
+
+
+def test_anchor_pairs_implicit_close_and_truncation():
+    from ankiocr_spark.links import extract_anchor_pairs
+
+    # HTML5 implicit close: a second <a> before </a> closes the first
+    html = b'<a href="/x">foo <a href="/y">bar</a>'
+    assert extract_anchor_pairs("https://e.org/", html) == [
+        ("https://e.org/x", "foo"),
+        ("https://e.org/y", "bar"),
+    ]
+    # page truncated mid-anchor still emits the pending pair on close()
+    html = b'<p>body</p><a href="/last">trailing tex'
+    assert extract_anchor_pairs("https://e.org/", html) == [
+        ("https://e.org/last", "trailing tex"),
+    ]
