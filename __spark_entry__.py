@@ -61,6 +61,7 @@ _FRONT = [
     "incremental_extract",
     "blocklist_filter",
     "domain_mix_sample",
+    "lm_perplexity",
 ]
 
 #: long-stable singletons (multi-round green driver rows), rotated past
@@ -68,6 +69,7 @@ _FRONT = [
 #: last two make the 50-query boundary explicit rather than letting the
 #: module iteration order pick who falls out.
 _TAIL = [
+    "count_distinct_twophase",
     "multimodal_meta",
     "extract_spans",
     "group_concat",

@@ -383,12 +383,101 @@ FROM rated
 """
 
 
+# ---------------------------------------------------------------------------
+# LM-perplexity quality filter — the CCNet-style model-based gate
+# ---------------------------------------------------------------------------
+
+#: docs whose mean bigram log-probability clears this keep their gate.
+#: Calibrated on the fixture corpus so BOTH outcomes carry rows at every
+#: shipped sf (scores cluster near -3.4: keep ≈ 68% at sf0.001/0.01,
+#: ≈ 45% at sf0.1).
+LM_LOGPROB_FLOOR = -3.4
+
+
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model quality gate: score every document by the mean
+    log-probability of its token bigrams under an add-one-smoothed
+    bigram LM, and keep docs above a floor — the CCNet/RedPajama
+    perplexity-filter pass with the n-gram LM trained IN-ENGINE (here on
+    the corpus itself so the whole thing stays closed-form; production
+    trains on a reference corpus and the score join is identical).
+
+    P(w2|w1) = (c(w1 w2) + 1) / (c(w1 ·) + V),  V = |vocab|.
+
+    Scale shape — the tfidf lesson applied twice: the SCORING path scans
+    and explodes the corpus ONCE; the bigram count c(w1 w2) and the
+    context count c(w1 ·) both ride the exploded rows as windows (over
+    `bigram` and over `w1`), NOT as separate groupBy branches joined
+    back (no cross-branch CSE → each count branch would re-scan and
+    re-explode the corpus). V is a corpus-wide SCALAR and does cost a
+    second branch — but a column-pruned scan + countDistinct, broadcast
+    back by a cross join (one row), not a per-row join. Then one
+    groupBy(doc_id) folds the per-bigram log-probs to the doc mean.
+    Data-path exchanges: bigram, w1, doc — all O(corpus bigrams), no
+    quadratic term, no driver collect."""
+    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    toks = F.split("text", " ")
+    docs = docs.select("doc_id", toks.alias("toks")).where(F.size("toks") >= 2)
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.size("toks") - 2),
+        lambda i: F.concat_ws(" ", F.get("toks", i), F.get("toks", i + 1)),
+    )
+    exploded = docs.select("doc_id", F.explode(bigrams).alias("bigram"))
+    vocab = (
+        docs.select(F.explode("toks").alias("tok"))
+        .agg(F.countDistinct("tok").alias("v"))
+    )
+    w1 = F.split_part("bigram", F.lit(" "), F.lit(1))
+    scored = (
+        exploded.withColumn("c12", F.count("*").over(Window.partitionBy("bigram")))
+        .withColumn("w1", w1)
+        .withColumn("c1", F.count("*").over(Window.partitionBy("w1")))
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.log((F.col("c12") + 1) / (F.col("c1") + F.col("v"))).alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.round(F.avg("lp"), 6).alias("avg_logprob"),
+        (F.avg("lp") >= LM_LOGPROB_FLOOR).alias("keep"),
+    )
+
+
+ORACLE_LM = f"""
+WITH docs AS (
+  SELECT doc_id, str_split(text, ' ') AS toks FROM documents
+  WHERE text IS NOT NULL AND len(str_split(text, ' ')) >= 2),
+v AS (
+  SELECT count(DISTINCT tok) AS v
+  FROM (SELECT unnest(toks) AS tok FROM docs)),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(len(toks) - 1),
+                               i -> toks[i + 1] || ' ' || toks[i + 2]))
+           AS bigram
+  FROM docs),
+counted AS (
+  SELECT doc_id, bigram,
+         count(*) OVER (PARTITION BY bigram) AS c12,
+         count(*) OVER (PARTITION BY str_split(bigram, ' ')[1]) AS c1
+  FROM bg),
+lp AS (
+  SELECT doc_id, ln((c12 + 1) / (c1 + v)::DOUBLE) AS lp
+  FROM counted, v)
+SELECT doc_id, round(avg(lp), 6) AS avg_logprob,
+       avg(lp) >= {LM_LOGPROB_FLOOR} AS keep
+FROM lp GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "pii_redact": q_pii_redact,
     "repetition_filter": q_repetition_filter,
     "tfidf_top_terms": q_tfidf_top_terms,
     "blocklist_filter": q_blocklist_filter,
     "domain_mix_sample": q_domain_mix_sample,
+    "lm_perplexity": q_lm_perplexity,
 }
 
 ORACLE_SQL = {
@@ -397,4 +486,5 @@ ORACLE_SQL = {
     "tfidf_top_terms": ORACLE_TFIDF,
     "blocklist_filter": ORACLE_BLOCKLIST,
     "domain_mix_sample": ORACLE_MIX,
+    "lm_perplexity": ORACLE_LM,
 }

@@ -69,6 +69,7 @@ AUDIT = [
     "incremental_extract",
     "blocklist_filter",
     "domain_mix_sample",
+    "lm_perplexity",
 ]
 
 #: caveats rendered under the flags line — mostly for iterative queries,

@@ -187,3 +187,38 @@ def test_domain_mix_sample_rates_cap_and_determinism(spark, sf_dir):
     # the oversubscribed language is capped: selection cannot mint docs
     assert max(rates.values()) == 1.0
     assert min(rates.values()) < 1.0
+
+
+def test_lm_perplexity_matches_python(spark, sf_dir):
+    from ankiocr_spark.datapipe.curation import LM_LOGPROB_FLOOR, q_lm_perplexity
+
+    rows = _rows(sf_dir)
+    c12, c1 = Counter(), Counter()
+    vocab = set()
+    doc_bigrams = {}
+    for doc_id, text in rows:
+        toks = text.split(" ")
+        vocab.update(toks)
+        if len(toks) < 2:
+            continue
+        bgs = [f"{toks[i]} {toks[i+1]}" for i in range(len(toks) - 1)]
+        doc_bigrams[doc_id] = bgs
+        for b in bgs:
+            c12[b] += 1
+            c1[b.split(" ")[0]] += 1
+    got = {r["doc_id"]: r for r in q_lm_perplexity(spark, sf_dir).collect()}
+    assert set(got) == set(doc_bigrams)
+    v = len(vocab)
+    kept = dropped = 0
+    for doc_id, bgs in doc_bigrams.items():
+        lps = [
+            math.log((c12[b] + 1) / (c1[b.split(" ")[0]] + v)) for b in bgs
+        ]
+        avg = sum(lps) / len(lps)
+        r = got[doc_id]
+        assert abs(r["avg_logprob"] - round(avg, 6)) <= 1e-6
+        assert r["keep"] == (avg >= LM_LOGPROB_FLOOR)
+        kept += r["keep"]
+        dropped += not r["keep"]
+    # the floor is calibrated to BITE: both outcomes must occur
+    assert kept > 0 and dropped > 0
