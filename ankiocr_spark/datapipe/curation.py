@@ -40,9 +40,22 @@ TFIDF_TOP_K = 3
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ankiocr_spark.ops import load  # one definition of the table path
+    from ankiocr_spark.ops import load  # this module's shared reader
 
     return load(spark, sf_dir, "documents")
+
+
+def _tokenized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, toks): whitespace-tokenized docs with ≥ 2 tokens — the
+    shared input of the bigram-based gates. The split delimiter and the
+    min-token cutoff are load-bearing for BOTH oracles (repetition,
+    lm_perplexity); one definition keeps them in sync."""
+    return (
+        _docs(spark, sf_dir)
+        .where(F.col("text").isNotNull())
+        .select("doc_id", F.split("text", " ").alias("toks"))
+        .where(F.size("toks") >= 2)
+    )
 
 
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -108,9 +121,7 @@ def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     row-local columns (n_tokens, distinct_ratio) ride that second
     groupBy as functionally-dependent keys instead of rejoining the
     corpus (the sizes-ride-the-postings shape from dedup)."""
-    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
-    toks = F.split("text", " ")
-    docs = docs.select("doc_id", toks.alias("toks")).where(F.size("toks") >= 2)
+    docs = _tokenized_docs(spark, sf_dir)
     bigrams = F.transform(
         F.sequence(F.lit(0), F.size("toks") - 2),
         lambda i: F.concat_ws(" ", F.get("toks", i), F.get("toks", i + 1)),
@@ -305,7 +316,9 @@ FROM v
 #: min(1, ·) rate cap carries rows.
 TARGET_MIX = {"en": 0.25, "zh": 0.15, "es": 0.15, "de": 0.15, "fr": 0.30}
 
-#: fraction of the corpus the mixed sample may total
+#: fraction of the IN-MIX corpus (docs whose lang has a target weight)
+#: the mixed sample may total — out-of-mix languages are dropped before
+#: the counts, so they contribute to neither the budget nor the rates
 MIX_BUDGET_FRAC = 0.6
 
 #: Knuth multiplicative hash → uniform [0,1) — pure int64 arithmetic so
@@ -415,9 +428,7 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy(doc_id) folds the per-bigram log-probs to the doc mean.
     Data-path exchanges: bigram, w1, doc — all O(corpus bigrams), no
     quadratic term, no driver collect."""
-    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
-    toks = F.split("text", " ")
-    docs = docs.select("doc_id", toks.alias("toks")).where(F.size("toks") >= 2)
+    docs = _tokenized_docs(spark, sf_dir)
     bigrams = F.transform(
         F.sequence(F.lit(0), F.size("toks") - 2),
         lambda i: F.concat_ws(" ", F.get("toks", i), F.get("toks", i + 1)),
@@ -438,9 +449,16 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.log((F.col("c12") + 1) / (F.col("c1") + F.col("v"))).alias("lp"),
         )
     )
+    # keep compares the ROUNDED mean (the emitted column), not the raw
+    # avg: JVM log + partition-ordered summation vs DuckDB libm + its own
+    # order can differ by ulps, and the floor is deliberately calibrated
+    # inside the score cluster — a raw compare would flake the oracle
+    # gate for a doc landing within FP noise of the floor (review find;
+    # same rounding discipline as q_repetition_filter's thresholds).
+    avg_r = F.round(F.avg("lp"), 6)
     return scored.groupBy("doc_id").agg(
-        F.round(F.avg("lp"), 6).alias("avg_logprob"),
-        (F.avg("lp") >= LM_LOGPROB_FLOOR).alias("keep"),
+        avg_r.alias("avg_logprob"),
+        (avg_r >= LM_LOGPROB_FLOOR).alias("keep"),
     )
 
 
@@ -466,7 +484,7 @@ lp AS (
   SELECT doc_id, ln((c12 + 1) / (c1 + v)::DOUBLE) AS lp
   FROM counted, v)
 SELECT doc_id, round(avg(lp), 6) AS avg_logprob,
-       avg(lp) >= {LM_LOGPROB_FLOOR} AS keep
+       round(avg(lp), 6) >= {LM_LOGPROB_FLOOR} AS keep
 FROM lp GROUP BY doc_id
 """
 

@@ -27,7 +27,9 @@ from pyspark.sql import functions as F
 
 
 def _load_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from ankiocr_spark.ops import load
+
+    return load(spark, sf_dir, "documents")
 
 
 # 60-bit deterministic hash from md5 — identical in Spark and DuckDB.

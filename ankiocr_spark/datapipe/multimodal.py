@@ -28,7 +28,9 @@ FAKE_DECODE = True  # no real image/audio libs in this container
 
 def _docs_as_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → a media-shaped table: (media_id, payload BINARY, kind)."""
-    return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    from ankiocr_spark.ops import load
+
+    return load(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("media_id"),
         F.encode("text", "utf-8").alias("payload"),
         F.element_at(

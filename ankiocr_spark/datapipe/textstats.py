@@ -17,7 +17,9 @@ LANG_RATIO_THRESHOLD = 0.04
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from ankiocr_spark.ops import load
+
+    return load(spark, sf_dir, "documents")
 
 
 def marker_ratio_col(tokens) -> "F.Column":

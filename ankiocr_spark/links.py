@@ -187,7 +187,9 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     algorithms are rows-only' escape hatch is not needed."""
     from pyspark.sql import functions as F
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from .ops import load
+
+    docs = load(spark, sf_dir, "documents")
     n = docs.count()
     # cache the loop-invariant relations: without this every iteration
     # re-derives nodes/edges from the source scan (the plan showed 7

@@ -400,7 +400,7 @@ def q_pdf_extract(spark, sf_dir: str):
     from .ops import doc_url
 
     docs = (
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        __import__("ankiocr_spark.ops", fromlist=["load"]).load(spark, sf_dir, "documents")
         .where(F.col("text").isNotNull())
         .select(doc_url(F.col("doc_id")).alias("url"), "text")
     )

@@ -346,7 +346,9 @@ def q_stream_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = tempfile.mkdtemp(prefix="stream_w_")
     in_dir = os.path.join(base, "in")
     os.makedirs(in_dir)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    from .ops import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
     lohi = docs.agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")).first()
     lo, hi = lohi["lo"], lohi["hi"]
     span = hi - lo + 1

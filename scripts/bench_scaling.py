@@ -215,6 +215,8 @@ def main() -> None:
                          "noisy hosts (noise is one-sided, best-of is the "
                          "estimator)")
     args = ap.parse_args()
+    if args.rounds < 1:
+        ap.error("--rounds must be >= 1")
 
     if args.child:
         run_child(args.cores, args.input, args.mode, args.reps)
@@ -229,8 +231,6 @@ def main() -> None:
     # ceiling lands in a quiet window and the Spark run in a noisy one,
     # their RATIO is biased. Sample every capability in ROUNDS separate
     # windows, round-robin, and take each one's best across rounds.
-    if args.rounds < 1:
-        ap.error("--rounds must be >= 1")
     ROUNDS = args.rounds
 
     def _best(a, b):

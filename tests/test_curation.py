@@ -198,9 +198,9 @@ def test_lm_perplexity_matches_python(spark, sf_dir):
     doc_bigrams = {}
     for doc_id, text in rows:
         toks = text.split(" ")
-        vocab.update(toks)
         if len(toks) < 2:
-            continue
+            continue  # excluded BEFORE vocab: engine computes V post-gate
+        vocab.update(toks)
         bgs = [f"{toks[i]} {toks[i+1]}" for i in range(len(toks) - 1)]
         doc_bigrams[doc_id] = bgs
         for b in bgs:
