@@ -125,3 +125,88 @@ def test_fast_tokenizer_matches_stdlib_on_fixtures():
         assert extract_spans(r["html"], _use_fast=True) == extract_spans(
             r["html"], _use_fast=False
         ), r["url"]
+
+
+# --- anchor parser properties ------------------------------------------------
+
+def _anchor_payloads():
+    anchorish = st.sampled_from(
+        ['<a href="/x">', '<a href="/y">', "<a>", "</a>", '<a href="#f">',
+         "<b>", "</b>", "<p>", "</p>", "text ", "  ", "&amp;", "link"]
+    )
+    return st.lists(st.one_of(anchorish, st.text(max_size=20)), max_size=25).map(
+        "".join
+    )
+
+
+@given(_anchor_payloads())
+@settings(**SETTINGS)
+def test_anchor_pairs_never_raise_and_are_deterministic(html):
+    from ankiocr_spark.links import extract_anchor_pairs, extract_links
+
+    p1 = extract_anchor_pairs("https://e.org/base/", html)
+    p2 = extract_anchor_pairs("https://e.org/base/", html)
+    assert p1 == p2
+    # every emitted pair resolves and has normalized whitespace
+    for target, anchor in p1:
+        assert target.startswith("http")
+        assert anchor == " ".join(anchor.split())
+    # anchor pairs and href-only outlinks agree on the href multiset:
+    # implicit close + EOF flush exist exactly so no <a href> is dropped
+    hrefs = [t for _, __, t in extract_links("https://e.org/base/", html)]
+    assert sorted(t for t, _ in p1) == sorted(hrefs)
+
+
+# --- crawl delta / incremental split algebra ----------------------------------
+
+def test_crawl_delta_statuses_partition_the_url_universe(spark):
+    from ankiocr_spark.bucketing import crawl_delta
+
+    old = spark.createDataFrame(
+        [(f"u{i}", f"d{i % 4}") for i in range(20)], "url string, digest string"
+    )
+    # drop every 5th, change every 3rd survivor, add 5 fresh urls
+    new = spark.createDataFrame(
+        [
+            (f"u{i}", f"X{i}" if i % 3 == 0 else f"d{i % 4}")
+            for i in range(20)
+            if i % 5 != 0
+        ]
+        + [(f"n{i}", "nd") for i in range(5)],
+        "url string, digest string",
+    )
+    rows = crawl_delta(old, new).collect()
+    by_status = {}
+    for r in rows:
+        by_status.setdefault(r["status"], set()).add(r["url"])
+    all_urls = {r["url"] for r in rows}
+    # statuses partition old ∪ new exactly
+    assert all_urls == {f"u{i}" for i in range(20)} | {f"n{i}" for i in range(5)}
+    assert sum(len(v) for v in by_status.values()) == len(all_urls)
+    assert by_status["removed"] == {f"u{i}" for i in range(20) if i % 5 == 0}
+    assert by_status["added"] == {f"n{i}" for i in range(5)}
+    assert by_status["changed"] == {
+        f"u{i}" for i in range(20) if i % 5 != 0 and i % 3 == 0
+    }
+
+
+def test_incremental_split_with_empty_delta_runs_no_kernel_input(spark):
+    """All-unchanged re-crawl: to_extract is EMPTY and the carried-forward
+    rows alone reproduce the snapshot (the cheapest possible re-crawl)."""
+    from pyspark.sql import functions as F
+
+    from ankiocr_spark.bucketing import split_incremental
+
+    pages = spark.createDataFrame(
+        [(f"u{i}", f"<p>body {i}</p>".encode()) for i in range(10)],
+        "url string, html binary",
+    )
+    old = pages.select(
+        "url",
+        F.md5("html").alias("digest"),
+        F.concat(F.lit("text "), "url").alias("extracted_text"),
+    )
+    reuse, to_extract = split_incremental(old, pages)
+    assert to_extract.count() == 0
+    got = {r["url"]: r["extracted_text"] for r in reuse.collect()}
+    assert got == {f"u{i}": f"text u{i}" for i in range(10)}
