@@ -62,6 +62,7 @@ _FRONT = [
     "blocklist_filter",
     "domain_mix_sample",
     "lm_perplexity",
+    "dedup_substring",
 ]
 
 #: long-stable singletons (multi-round green driver rows), rotated past
@@ -69,6 +70,7 @@ _FRONT = [
 #: last two make the 50-query boundary explicit rather than letting the
 #: module iteration order pick who falls out.
 _TAIL = [
+    "doc_fingerprint",
     "count_distinct_twophase",
     "multimodal_meta",
     "extract_spans",

@@ -757,8 +757,111 @@ FROM reach GROUP BY doc
 """
 
 
+# --- exact-substring dedup (repeated-span detection) --------------------------
+
+#: window width in tokens. Lee et al. (2022, "Deduplicating Training Data
+#: Makes Language Models Better") use 50 BPE tokens; 16 whitespace tokens
+#: keeps real signal on the short fixture docs (median 56 tokens).
+SUBSTR_W = 16
+
+
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup: every MAXIMAL span of a document covered by
+    {SUBSTR_W}-token windows that repeat anywhere in the corpus — the
+    suffix-array dedup of Lee et al. recast as overlapping-window hashing
+    (the form that distributes). Output (doc_id, span_start, span_end,
+    n_windows) marks the byte ranges a training pipeline would excise,
+    leaving the unique remainder of the page intact — finer-grained than
+    doc-level or paragraph-level dedup.
+
+    Scale shape: a stride-1 window explode is O(total tokens) rows; the
+    duplicate mark is ``count(*) OVER (PARTITION BY window_hash)`` — ONE
+    exchange keyed on the hash, never a pair join, so a boilerplate
+    window repeated 10^9 times costs its row count, not df² pairs. The
+    span merge is the gaps-and-islands pattern: running max of
+    window-end over (doc_id ORDER BY start) opens an island whenever a
+    start clears every previous end, then one groupBy folds islands to
+    spans — both windows share the doc_id exchange and sort. Window
+    identity is the md5-derived 60-bit hash (oracle-reproducible; at
+    100 TB swap in a 64-bit Rabin-Karp ROLLING hash so each token is
+    hashed once, not {SUBSTR_W} times)."""
+    docs = _load_docs(spark, sf_dir).where(F.col("text").isNotNull())
+    toks = F.split("text", " ")
+    wins = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - SUBSTR_W),
+        lambda i: F.struct(
+            i.alias("start"),
+            _md5int(F.array_join(F.slice(toks, i + 1, SUBSTR_W), " ")).alias("h"),
+        ),
+    )
+    exploded = (
+        docs.where(F.size(toks) >= SUBSTR_W)
+        .select("doc_id", F.explode(wins).alias("w"))
+        .select("doc_id", F.col("w.start").alias("start"), F.col("w.h").alias("h"))
+    )
+    dup = exploded.withColumn(
+        "n", F.count("*").over(Window.partitionBy("h"))
+    ).where(F.col("n") >= 2)
+    wdoc = Window.partitionBy("doc_id").orderBy("start")
+    prev_end = F.max(F.col("start") + SUBSTR_W).over(
+        wdoc.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = dup.select(
+        "doc_id",
+        "start",
+        F.when(prev_end.isNull() | (F.col("start") > prev_end), 1)
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    islands = marked.withColumn("island", F.sum("is_new").over(wdoc))
+    return (
+        islands.groupBy("doc_id", "island")
+        .agg(
+            F.min("start").alias("span_start"),
+            (F.max("start") + SUBSTR_W).alias("span_end"),
+            F.count("*").alias("n_windows"),
+        )
+        .select("doc_id", "span_start", "span_end", "n_windows")
+    )
+
+
+ORACLE_DEDUP_SUBSTRING = f"""
+WITH t AS (
+  SELECT doc_id, str_split(text, ' ') AS toks FROM documents
+  WHERE text IS NOT NULL AND len(str_split(text, ' ')) >= {SUBSTR_W}),
+w AS (
+  SELECT doc_id, unnest(range(len(toks) - {SUBSTR_W - 1})) AS start, toks
+  FROM t),
+h AS (
+  SELECT doc_id, start,
+         ('0x' || substr(md5(array_to_string(
+             toks[start + 1:start + {SUBSTR_W}], ' ')), 1, 15))::BIGINT AS hh
+  FROM w),
+dup AS (
+  SELECT doc_id, start FROM h
+  QUALIFY count(*) OVER (PARTITION BY hh) >= 2),
+marked AS (
+  SELECT doc_id, start,
+         CASE WHEN coalesce(start > max(start + {SUBSTR_W}) OVER (
+                     PARTITION BY doc_id ORDER BY start
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   TRUE)
+              THEN 1 ELSE 0 END AS is_new
+  FROM dup),
+isl AS (
+  SELECT doc_id, start,
+         sum(is_new) OVER (PARTITION BY doc_id ORDER BY start) AS island
+  FROM marked)
+SELECT doc_id, min(start)::BIGINT AS span_start,
+       (max(start) + {SUBSTR_W})::BIGINT AS span_end,
+       count(*)::BIGINT AS n_windows
+FROM isl GROUP BY doc_id, island
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
+    "dedup_substring": q_dedup_substring,
     "dedup_paragraph": q_dedup_paragraph,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -770,6 +873,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
+    "dedup_substring": ORACLE_DEDUP_SUBSTRING,
     "dedup_paragraph": ORACLE_DEDUP_PARAGRAPH,
     "dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM,
     "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH,

@@ -70,6 +70,7 @@ AUDIT = [
     "blocklist_filter",
     "domain_mix_sample",
     "lm_perplexity",
+    "dedup_substring",
 ]
 
 #: caveats rendered under the flags line — mostly for iterative queries,

@@ -95,3 +95,56 @@ def test_decontaminate_flags_eval_docs(spark, sf_dir):
         ).groupBy("doc_id").agg(F.count("*").alias("n")).collect()
     }
     assert eval_ids and all(got.get(i) == own[i] for i in eval_ids)
+
+
+def test_substring_spans_match_python_island_merge(spark, sf_dir):
+    """Independent reimplementation: count every 16-token window, mark
+    corpus-repeated ones, merge overlapping/adjacent starts per doc with
+    a plain scan — the engine's window/gaps-and-islands plan must agree
+    exactly, and spans must be maximal (no two spans of one doc touch)."""
+    from collections import Counter
+
+    import duckdb
+
+    from ankiocr_spark.datapipe.dedup import SUBSTR_W, q_dedup_substring
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet') "
+        "WHERE text IS NOT NULL"
+    ).fetchall()
+    counts = Counter()
+    doc_windows = {}
+    for doc_id, text in rows:
+        toks = text.split(" ")
+        wins = [
+            " ".join(toks[i : i + SUBSTR_W])
+            for i in range(len(toks) - SUBSTR_W + 1)
+        ]
+        doc_windows[doc_id] = wins
+        counts.update(wins)
+    want = set()
+    for doc_id, wins in doc_windows.items():
+        starts = [i for i, w in enumerate(wins) if counts[w] >= 2]
+        spans = []
+        for s in starts:
+            if spans and s <= spans[-1][1]:
+                spans[-1][1] = max(spans[-1][1], s + SUBSTR_W)
+                spans[-1][2] += 1
+            else:
+                spans.append([s, s + SUBSTR_W, 1])
+        for a, b, n in spans:
+            want.add((doc_id, a, b, n))
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_windows"])
+        for r in q_dedup_substring(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert want  # natural repeats exist at every shipped sf
+    # maximality: spans of one doc never touch or overlap
+    by_doc = {}
+    for doc_id, a, b, _ in got:
+        by_doc.setdefault(doc_id, []).append((a, b))
+    for spans in by_doc.values():
+        spans.sort()
+        for (a1, b1), (a2, b2) in zip(spans, spans[1:]):
+            assert a2 > b1
