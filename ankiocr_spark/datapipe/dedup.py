@@ -52,15 +52,22 @@ def shingles(
     aggregate them back without a second pass over the corpus."""
     if distinct and extra_cols:
         raise ValueError("extra_cols requires distinct=False")
-    tokens = F.split(F.col("text"), " ")
+    # project the token array ONCE below the transform: Catalyst does not
+    # CSE subtrees inside higher-order-function lambdas, so an inline
+    # split(text) in the slice re-tokenizes the full document PER SHINGLE
+    # — O(tokens²) on long docs (r4 review find)
+    base = df.select(
+        "doc_id", *extra_cols, "text", F.split(F.col("text"), " ").alias("_toks")
+    )
+    toks = F.col("_toks")
     sh = F.when(
-        F.size(tokens) >= n,
+        F.size(toks) >= n,
         F.transform(
-            F.sequence(F.lit(1), F.size(tokens) - (n - 1)),
-            lambda i: F.array_join(F.slice(tokens, i, n), " "),
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
         ),
     ).otherwise(F.array(F.col("text")))
-    out = df.select("doc_id", *extra_cols, F.explode(sh).alias("shingle"))
+    out = base.select("doc_id", *extra_cols, F.explode(sh).alias("shingle"))
     return out.distinct() if distinct else out
 
 
@@ -605,8 +612,12 @@ def q_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     dupes = docs.where(F.col("doc_id") % PARA_DUP_MOD == 0).withColumn(
         "doc_id", F.col("doc_id") + 2000000
     )
-    corpus = docs.unionByName(dupes)
-    toks = F.split("text", " ")
+    # token array projected once below the transform (no lambda CSE —
+    # an inline split would re-tokenize the doc per paragraph)
+    corpus = docs.unionByName(dupes).select(
+        "doc_id", F.split("text", " ").alias("_toks")
+    )
+    toks = F.col("_toks")
     n_para = F.ceil(F.size(toks) / F.lit(PARA_TOKENS)).cast("int")
     paras = F.transform(
         F.sequence(F.lit(0), n_para - 1),
@@ -785,8 +796,15 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     identity is the md5-derived 60-bit hash (oracle-reproducible; at
     100 TB swap in a 64-bit Rabin-Karp ROLLING hash so each token is
     hashed once, not {SUBSTR_W} times)."""
-    docs = _load_docs(spark, sf_dir).where(F.col("text").isNotNull())
-    toks = F.split("text", " ")
+    # token array projected once below the transform: no lambda CSE, so
+    # an inline split(text) would re-tokenize the whole doc PER WINDOW —
+    # O(tokens²) on long docs (r4 review find)
+    docs = (
+        _load_docs(spark, sf_dir)
+        .where(F.col("text").isNotNull())
+        .select("doc_id", F.split("text", " ").alias("_toks"))
+    )
+    toks = F.col("_toks")
     wins = F.transform(
         F.sequence(F.lit(0), F.size(toks) - SUBSTR_W),
         lambda i: F.struct(
