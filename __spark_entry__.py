@@ -27,14 +27,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from ankiocr_spark import bucketing, checkpoint, links, ops, pdftext, streaming, warc  # noqa: E402
 from ankiocr_spark.datapipe import (  # noqa: E402
-    analytics, curation, dedup, multimodal, pipeline, relational, similarity,
-    textstats,
+    analytics, curation, dedup, multimodal, packing, pipeline, relational,
+    similarity, textstats,
 )
 from ankiocr_spark.session import ensure_workers_can_import  # noqa: E402
 
 _MODULES = (ops, pdftext, warc, links, streaming, bucketing, checkpoint,
             dedup, similarity, textstats, multimodal, analytics, relational,
-            pipeline, curation)
+            pipeline, curation, packing)
 
 #: queries that have never received a driver CORRECTNESS row (r2+r3 were
 #: starved by export position > 50) plus this round's new queries — these
@@ -63,6 +63,9 @@ _FRONT = [
     "domain_mix_sample",
     "lm_perplexity",
     "dedup_substring",
+    "seq_pack",
+    "train_val_split",
+    "crossdedup_lsh",
 ]
 
 #: long-stable singletons (multi-round green driver rows), rotated past
@@ -70,6 +73,9 @@ _FRONT = [
 #: last two make the 50-query boundary explicit rather than letting the
 #: module iteration order pick who falls out.
 _TAIL = [
+    "neardup_cosine",
+    "ann_lsh_buckets",
+    "ann_ivf_topk",
     "doc_fingerprint",
     "count_distinct_twophase",
     "multimodal_meta",

@@ -269,14 +269,11 @@ def minhash_signatures(sh: DataFrame) -> DataFrame:
     return hashed.groupBy("doc_id").agg(*mins)
 
 
-def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH candidate pairs: docs sharing ≥1 MinHash band. This is the
-    dedup scale path — no pairwise join over shingles, only over tiny
-    band keys. Band keys are a pure projection over the K signature
-    columns (md5 of the band's minhashes), so the only shuffles left are
-    the signature agg and the bucket agg."""
-    docs = _load_docs(spark, sf_dir)
-    sig = minhash_signatures(shingles(docs, distinct=False))
+def lsh_bands(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, band_key) from a (doc_id, m0..m{K-1}) signature
+    frame. Band keys are a pure projection over the K signature columns
+    (md5 of the band's minhashes) — no shuffle. Shared by the in-corpus
+    pair enumerator and the cross-corpus dedup probe."""
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
@@ -292,9 +289,20 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for b in range(MINHASH_K // LSH_BAND_ROWS)
     ]
-    bands = sig.select(
+    return sig.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("bb")
     ).select("doc_id", "bb.band", "bb.band_key")
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs: docs sharing ≥1 MinHash band. This is the
+    dedup scale path — no pairwise join over shingles, only over tiny
+    band keys. Band keys are a pure projection over the K signature
+    columns (md5 of the band's minhashes), so the only shuffles left are
+    the signature agg and the bucket agg."""
+    docs = _load_docs(spark, sf_dir)
+    sig = minhash_signatures(shingles(docs, distinct=False))
+    bands = lsh_bands(sig)
     # Pair enumeration WITHOUT a self-join: collect each bucket's (sorted)
     # doc list and explode ordered pairs out of it. A self-join re-computes
     # the whole shingle->minhash->band lineage for each side (the physical
@@ -349,6 +357,90 @@ small AS (
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
 FROM small a JOIN small b USING (band, band_key)
 WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+"""
+
+
+# --- cross-corpus dedup (new crawl vs existing training set) ------------------
+
+def q_crossdedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-crawl dedup: probe a NEW snapshot's MinHash band keys
+    against an EXISTING corpus's band keys and flag new docs that collide
+    with ≥1 reference doc — the pass every training pipeline runs before
+    admitting a fresh crawl (dedup *against the corpus*, not within it).
+    Reference analog: AnkiOCR skips notes whose target field is already
+    populated before re-running OCR (`api.py:252-268` note-update guard);
+    this is that "already have it" check as a set-similarity probe.
+
+    Corpus split is deterministic (doc_id parity) so both sides come from
+    the same fixture table. Signatures are computed in ONE pass over the
+    union (a doc's signature depends only on its own shingles), then the
+    band rows split by parity — at production scale the reference side is
+    a PRECOMPUTED band-key table maintained with the corpus, so the only
+    per-crawl work is the new side's O(new_docs × bands) band rows and an
+    equi-join against it. Giant reference buckets (boilerplate clusters)
+    are dropped via the same MAX_BAND_BUCKET cap as the in-corpus path:
+    a new doc landing in one is near-boilerplate, and the window that
+    enforces the cap runs over the (small) reference band table, never
+    the corpus. Output keeps ALL new docs (left join) so both verdicts
+    are value-checked."""
+    docs = _load_docs(spark, sf_dir)
+    bands = lsh_bands(minhash_signatures(shingles(docs, distinct=False)))
+    ref = bands.where(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("ref_id"), "band", "band_key"
+    )
+    w_bucket = Window.partitionBy("band", "band_key")
+    ref = ref.withColumn("bsz", F.count("*").over(w_bucket)).where(
+        F.col("bsz") <= MAX_BAND_BUCKET
+    )
+    new = bands.where(F.col("doc_id") % 2 == 1)
+    hits = new.join(ref, ["band", "band_key"]).groupBy("doc_id").agg(
+        F.countDistinct("ref_id").alias("n_ref_matches")
+    )
+    new_docs = docs.where(F.col("doc_id") % 2 == 1).select("doc_id")
+    return new_docs.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_ref_matches", F.lit(0).cast("bigint")).alias("n_ref_matches"),
+        (F.coalesce("n_ref_matches", F.lit(0).cast("bigint")) > 0).alias("dropped"),
+    )
+
+
+ORACLE_CROSSDEDUP = f"""
+WITH tok AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(t) >= 3
+                THEN list_transform(generate_series(1, len(t) - 2),
+                                    i -> array_to_string(list_slice(t, i, i + 2), ' '))
+                ELSE [array_to_string(t, ' ')] END) AS shingle
+  FROM tok),
+seeds(seed, a, b) AS (VALUES {_SEED_VALUES}),
+based AS (
+  SELECT doc_id,
+         (('0x' || substr(md5(shingle), 1, 8))::bigint) % {MINHASH_P} AS hb
+  FROM sh),
+hashed AS (
+  SELECT doc_id, seed, (a * hb + b) % {MINHASH_P} AS h
+  FROM based, seeds),
+sig AS (SELECT doc_id, seed, min(h) AS minhash FROM hashed GROUP BY 1, 2),
+bands AS (
+  SELECT doc_id, (seed // {LSH_BAND_ROWS}) AS band,
+         md5(string_agg(minhash::varchar, '|' ORDER BY seed)) AS band_key
+  FROM sig GROUP BY doc_id, (seed // {LSH_BAND_ROWS})),
+refb AS (
+  SELECT ref_id, band, band_key FROM (
+    SELECT doc_id AS ref_id, band, band_key,
+           count(*) OVER (PARTITION BY band, band_key) AS bsz
+    FROM bands WHERE doc_id % 2 = 0)
+  WHERE bsz <= {MAX_BAND_BUCKET}),
+hits AS (
+  SELECT n.doc_id, count(DISTINCT r.ref_id) AS n_ref_matches
+  FROM bands n JOIN refb r USING (band, band_key)
+  WHERE n.doc_id % 2 = 1 GROUP BY n.doc_id)
+SELECT d.doc_id,
+       coalesce(h.n_ref_matches, 0)::BIGINT AS n_ref_matches,
+       coalesce(h.n_ref_matches, 0) > 0 AS dropped
+FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+LEFT JOIN hits h USING (doc_id)
 """
 
 
@@ -883,6 +975,7 @@ QUERIES = {
     "dedup_paragraph": q_dedup_paragraph,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "crossdedup_lsh": q_crossdedup_lsh,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_cc_clusters": q_dedup_cc_clusters,
@@ -895,6 +988,7 @@ ORACLE_SQL = {
     "dedup_paragraph": ORACLE_DEDUP_PARAGRAPH,
     "dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM,
     "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH,
+    "crossdedup_lsh": ORACLE_CROSSDEDUP,
     "dedup_simhash": ORACLE_DEDUP_SIMHASH,
     "dedup_simhash_pairs": ORACLE_DEDUP_SIMHASH_PAIRS,
     "dedup_cc_clusters": ORACLE_DEDUP_CC,

@@ -1,0 +1,235 @@
+"""Training-example assembly: GPT-style concat-and-chunk sequence packing
+and deterministic train/val/test split assignment — the two passes that
+turn a curated corpus into model-ready shards.
+
+Reference analog: AnkiOCR assembles per-note OCR results into
+fixed-shape field writebacks in batches (`ocr.py` batch loop,
+`api.py:252-268` note updates); packing generalizes that "many variable
+inputs → fixed-size output units" step to token-budgeted training
+sequences, and the split assigner generalizes its deterministic
+note-set partitioning (query-selected decks) to hash-bucketed splits.
+
+Scale notes
+-----------
+``seq_pack`` needs a GLOBAL running token offset in corpus order. A bare
+``Window.orderBy(...)`` is a single-partition sort — unusable at 10^12
+docs — so the offset is computed with the classic two-phase prefix sum
+(same shape as ``ops.q_count_distinct_twophase``):
+
+  1. bucket docs by a coarse range on doc_id (``PACK_BUCKET`` docs per
+     bucket); the within-bucket cumulative sum is a PARALLEL window
+     (partitionBy bucket);
+  2. per-bucket totals (one row per bucket — corpus/PACK_BUCKET rows,
+     ~10^5 at production sizing) get an exclusive prefix sum over the
+     tiny bucket relation and BROADCAST back as bucket offsets.
+
+The corpus itself shuffles once (the window's hash exchange on the
+bucket key) and the chunk aggregation re-shuffles O(docs × avg spanned
+chunks ≈ docs) rows — no sort of the corpus anywhere. ``PACK_BUCKET``
+scales with corpus size (pick ~corpus/10^5 so the bucket relation stays
+driver-trivial); it is a fixed small constant here so every shipped sf
+exercises multiple buckets.
+
+``train_val_split`` is pure map-side hashing (md5 bucket per doc, same
+2-engine hash as dedup's ``_md5int``) plus a 3-row aggregate: zero
+corpus shuffle beyond the final tiny groupBy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+#: tokens per packed training sequence (fixture docs run 10-99 ws-tokens,
+#: so chunks hold ~2-3 docs and most docs straddle a boundary — both code
+#: paths of the overlap arithmetic carry rows at every shipped sf)
+PACK_CHUNK_TOKENS = 128
+
+#: docs per offset bucket for the two-phase prefix sum (see module doc)
+PACK_BUCKET = 100
+
+#: hash-bucket split: 90/5/5
+SPLIT_BUCKETS = 100
+TRAIN_LT = 90
+VAL_LT = 95
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ankiocr_spark.ops import load
+
+    return load(spark, sf_dir, "documents")
+
+
+def _ws_tokens() -> "F.Column":
+    """Whitespace token count — the SAME definition as textstats'
+    q_token_count ws_tokens, so packed-token accounting cannot drift
+    from the reported per-doc counts."""
+    return F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+
+
+def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing: lay all docs end-to-end in doc_id order
+    and cut fixed ``PACK_CHUNK_TOKENS`` windows; report, per chunk, how
+    many docs feed it and how its token budget splits across them. A doc
+    spans chunks ``start div C .. (end-1) div C`` (pure integer
+    arithmetic — no FP division anywhere near the 2^53 cliff at 10^15
+    total tokens)."""
+    t = (
+        _docs(spark, sf_dir)
+        .where(F.col("text").isNotNull())
+        .select("doc_id", _ws_tokens().alias("n"))
+        .where(F.col("n") > 0)
+        .withColumn("b", F.expr(f"doc_id div {PACK_BUCKET}"))
+        # redundant for non-null doc_ids, but load-bearing for the plan:
+        # the bucket-offset join infers isnotnull(b) and pushes it into
+        # ONE branch's scan, which would de-canonicalize the two window
+        # exchanges and defeat ReusedExchange (two corpus scans instead
+        # of one). Stating it here keeps both branches identical.
+        .where(F.col("b").isNotNull())
+    )
+    w_in = (
+        Window.partitionBy("b")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    t = t.withColumn(
+        "local_start", F.coalesce(F.sum("n").over(w_in), F.lit(0).cast("bigint"))
+    )
+    # bucket totals DERIVE from the windowed rows (total = max exclusive
+    # cumsum + n, i.e. the last row's running end) instead of re-aggregating
+    # the source: both branches then share the window's hash exchange on b
+    # (ReusedExchange — same trick as jaccard's ride-the-postings window),
+    # so the corpus is scanned and tokenized exactly once.
+    w_b = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    bucket_offsets = (
+        t.groupBy("b")
+        .agg(F.max(F.col("local_start") + F.col("n")).alias("bn"))
+        .select(
+            "b",
+            F.coalesce(F.sum("bn").over(w_b), F.lit(0).cast("bigint")).alias(
+                "b_off"
+            ),
+        )
+    )
+    placed = (
+        t.join(F.broadcast(bucket_offsets), "b")
+        .select(
+            "doc_id",
+            "n",
+            (F.col("b_off") + F.col("local_start")).alias("start"),
+        )
+        .withColumn("fin", F.col("start") + F.col("n"))
+    )
+    c = F.lit(PACK_CHUNK_TOKENS).cast("bigint")
+    spans = placed.select(
+        "doc_id",
+        "start",
+        "fin",
+        F.explode(
+            F.sequence(
+                F.expr(f"start div {PACK_CHUNK_TOKENS}"),
+                F.expr(f"(fin - 1) div {PACK_CHUNK_TOKENS}"),
+            )
+        ).alias("chunk_id"),
+    )
+    return spans.groupBy("chunk_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(
+            F.least(F.col("fin"), (F.col("chunk_id") + 1) * c)
+            - F.greatest(F.col("start"), F.col("chunk_id") * c)
+        ).alias("chunk_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+#: the oracle's single global window IS the semantic spec; the two-phase
+#: bucket decomposition above must be value-identical to it by
+#: associativity of the prefix sum (tested in test_packing).
+ORACLE_SEQ_PACK = f"""
+WITH t AS (
+  SELECT doc_id,
+         len(list_filter(str_split(text, ' '), x -> x <> '')) AS n
+  FROM documents WHERE text IS NOT NULL),
+off AS (
+  SELECT doc_id, n,
+         coalesce(sum(n) OVER (ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0)::BIGINT AS start
+  FROM t WHERE n > 0),
+spans AS (
+  SELECT doc_id, start, start + n AS fin,
+         unnest(generate_series(start // {PACK_CHUNK_TOKENS},
+                                (start + n - 1) // {PACK_CHUNK_TOKENS})) AS chunk_id
+  FROM off)
+SELECT chunk_id::BIGINT AS chunk_id,
+       count(*)::BIGINT AS n_docs,
+       sum(least(fin, (chunk_id + 1) * {PACK_CHUNK_TOKENS})
+           - greatest(start, chunk_id * {PACK_CHUNK_TOKENS}))::BIGINT AS chunk_tokens,
+       min(doc_id)::BIGINT AS first_doc,
+       max(doc_id)::BIGINT AS last_doc
+FROM spans GROUP BY chunk_id
+"""
+
+
+def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 split ledger: every doc hashes into one of
+    ``SPLIT_BUCKETS`` md5 buckets (stable across runs, machines, and
+    re-crawls — the property that keeps val/test uncontaminated as the
+    corpus grows), and the report aggregates docs + tokens per split.
+    Map-side arithmetic into a 3-row aggregate; the corpus never
+    shuffles."""
+    b = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+        ).cast("bigint")
+        % SPLIT_BUCKETS
+    )
+    split = (
+        F.when(b < TRAIN_LT, F.lit("train"))
+        .when(b < VAL_LT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    d = (
+        _docs(spark, sf_dir)
+        .where(F.col("text").isNotNull())
+        .select(split.alias("split"), _ws_tokens().alias("n"))
+    )
+    agg = d.groupBy("split").agg(
+        F.count("*").alias("n_docs"), F.sum("n").alias("n_tokens")
+    )
+    total = F.sum("n_docs").over(Window.partitionBy())
+    return agg.select(
+        "split",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_docs") / total, 6).alias("share"),
+    )
+
+
+ORACLE_TRAIN_VAL_SPLIT = f"""
+WITH d AS (
+  SELECT CASE WHEN b < {TRAIN_LT} THEN 'train'
+              WHEN b < {VAL_LT} THEN 'val'
+              ELSE 'test' END AS split,
+         n
+  FROM (
+    SELECT (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT)
+             % {SPLIT_BUCKETS} AS b,
+           len(list_filter(str_split(text, ' '), x -> x <> '')) AS n
+    FROM documents WHERE text IS NOT NULL))
+SELECT split, count(*)::BIGINT AS n_docs, sum(n)::BIGINT AS n_tokens,
+       round(count(*) / (sum(count(*)) OVER ())::DOUBLE, 6) AS share
+FROM d GROUP BY split
+"""
+
+
+QUERIES = {
+    "seq_pack": q_seq_pack,
+    "train_val_split": q_train_val_split,
+}
+
+ORACLE_SQL = {
+    "seq_pack": ORACLE_SEQ_PACK,
+    "train_val_split": ORACLE_TRAIN_VAL_SPLIT,
+}

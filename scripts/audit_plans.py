@@ -71,6 +71,9 @@ AUDIT = [
     "domain_mix_sample",
     "lm_perplexity",
     "dedup_substring",
+    "seq_pack",
+    "train_val_split",
+    "crossdedup_lsh",
 ]
 
 #: caveats rendered under the flags line — mostly for iterative queries,
@@ -117,6 +120,26 @@ NOTES = {
         "the executed work is ONE equi-join of the cached self-looped "
         "edge list against the previous labels + ONE min-groupBy, with "
         "the convergence count as the bounded per-round scalar action."
+    ),
+    "seq_pack": (
+        "Two-phase global prefix sum: the corpus window partitions by the "
+        "coarse doc_id bucket (parallel), the single-partition window runs "
+        "only over the tiny per-bucket totals relation (corpus/PACK_BUCKET "
+        "rows), which then BroadcastHashJoins back. The ReadSchema×2 here "
+        "is the INITIAL adaptive plan only: both branches are built on a "
+        "canonically identical exchange (the bucket-totals branch derives "
+        "totals from the windowed rows, plus an explicit isnotnull(b) that "
+        "keeps the join's inferred null-check from de-canonicalizing one "
+        "side), so the EXECUTED plan shows `ReusedExchange [Reuses "
+        "operator id: …]` — one corpus scan + tokenize, verified on the "
+        "isFinalPlan=true dump. No global Sort of the corpus anywhere."
+    ),
+    "crossdedup_lsh": (
+        "Signatures computed in ONE pass over the union corpus, then band "
+        "rows split by parity; at production scale the reference side is a "
+        "precomputed band-key table, so the per-crawl work is the new "
+        "side's band projection + an equi-join. The bucket-size cap window "
+        "runs over the reference band table, not the corpus."
     ),
 }
 

@@ -1,0 +1,93 @@
+"""Invariant tests for training-example assembly (packing.py) and the
+cross-corpus dedup probe — the algebraic properties the oracle-parity
+hash cannot see (it would match a wrong-but-mirrored computation)."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from ankiocr_spark.datapipe import dedup, packing
+
+
+@pytest.fixture(scope="module")
+def packed(spark, sf_dir):
+    return packing.q_seq_pack(spark, sf_dir).collect()
+
+
+def test_seq_pack_conserves_tokens(spark, sf_dir, packed):
+    """Chunk token budgets partition the corpus token count exactly —
+    no token is dropped or double-counted by the overlap arithmetic."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    total = docs.where(F.col("text").isNotNull()).select(
+        F.sum(
+            F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+        ).alias("t")
+    ).collect()[0]["t"]
+    assert sum(r["chunk_tokens"] for r in packed) == total
+
+
+def test_seq_pack_chunks_are_full_and_contiguous(packed):
+    """Every chunk except the last is exactly PACK_CHUNK_TOKENS, chunk
+    ids are gapless from 0, and doc ranges of consecutive chunks touch
+    or overlap (concat-and-chunk leaves no seams)."""
+    rows = sorted(packed, key=lambda r: r["chunk_id"])
+    assert [r["chunk_id"] for r in rows] == list(range(len(rows)))
+    for r in rows[:-1]:
+        assert r["chunk_tokens"] == packing.PACK_CHUNK_TOKENS
+    assert 0 < rows[-1]["chunk_tokens"] <= packing.PACK_CHUNK_TOKENS
+    for a, b in zip(rows, rows[1:]):
+        assert a["first_doc"] <= a["last_doc"]
+        # doc ranges never go backwards and never skip past a straddler
+        # (>= not == +1: zero-token docs are packed as gaps in doc_id)
+        assert a["last_doc"] <= b["first_doc"]
+
+
+def test_seq_pack_bucket_size_invariance(spark, sf_dir, packed, monkeypatch):
+    """The two-phase prefix sum is associative: a different PACK_BUCKET
+    decomposition must yield the identical packing. This is the property
+    that lets PACK_BUCKET scale with the corpus at 10^12 docs."""
+    monkeypatch.setattr(packing, "PACK_BUCKET", 7)
+    alt = packing.q_seq_pack(spark, sf_dir).collect()
+    key = lambda rows: sorted(tuple(r) for r in rows)  # noqa: E731
+    assert key(alt) == key(packed)
+
+
+def test_train_val_split_partitions_corpus(spark, sf_dir):
+    rows = packing.q_train_val_split(spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.where(F.col("text").isNotNull()).count()
+    assert sum(r["n_docs"] for r in rows) == n
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-5
+    by = {r["split"]: r for r in rows}
+    assert set(by) <= {"train", "val", "test"}
+    # 90/5/5 within fixture-size tolerance
+    assert by["train"]["share"] > 0.8
+
+
+def test_train_val_split_is_stable(spark, sf_dir):
+    """Same corpus → byte-identical ledger (hash split, not sampling)."""
+    a = sorted(map(tuple, packing.q_train_val_split(spark, sf_dir).collect()))
+    b = sorted(map(tuple, packing.q_train_val_split(spark, sf_dir).collect()))
+    assert a == b
+
+
+def test_crossdedup_drops_exact_cross_parity_copies(spark, sf_dir):
+    """Ground truth the hash-parity check can't state: any NEW (odd) doc
+    whose text equals some REF (even) doc's text shares ALL bands with it
+    and must be flagged dropped."""
+    out = {r["doc_id"]: r for r in dedup.q_crossdedup_lsh(spark, sf_dir).collect()}
+    con = duckdb.connect()
+    exact = con.execute(
+        f"""
+        SELECT DISTINCT n.doc_id
+        FROM read_parquet('{sf_dir}/documents.parquet') n
+        JOIN read_parquet('{sf_dir}/documents.parquet') r USING (text)
+        WHERE n.doc_id % 2 = 1 AND r.doc_id % 2 = 0
+        """
+    ).fetchall()
+    for (doc_id,) in exact:
+        assert out[doc_id]["dropped"], f"exact copy {doc_id} not dropped"
+    # every verdict row is a new-parity doc and counts are consistent
+    for r in out.values():
+        assert r["doc_id"] % 2 == 1
+        assert r["dropped"] == (r["n_ref_matches"] > 0)
