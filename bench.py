@@ -47,6 +47,11 @@ SECONDARY = [
     # headline because the sf-table fixture must synthesize BOTH snapshots
     # (two kernel passes) — production reads the old extract table.
     "incremental_extract",
+    # r4 additions, timed for visibility; kept off the headline so the
+    # round-over-round wall stays comparable (same 8-query basket).
+    "seq_pack",
+    "crossdedup_lsh",
+    "train_val_split",
 ]
 
 
