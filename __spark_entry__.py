@@ -66,6 +66,9 @@ _FRONT = [
     "seq_pack",
     "train_val_split",
     "crossdedup_lsh",
+    "rag_chunk",
+    "robots_policy",
+    "ann_recall",
 ]
 
 #: long-stable singletons (multi-round green driver rows), rotated past
@@ -73,6 +76,9 @@ _FRONT = [
 #: last two make the 50-query boundary explicit rather than letting the
 #: module iteration order pick who falls out.
 _TAIL = [
+    "quality_score",
+    "token_count",
+    "lang_id",
     "neardup_cosine",
     "ann_lsh_buckets",
     "ann_ivf_topk",

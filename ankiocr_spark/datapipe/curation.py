@@ -489,8 +489,92 @@ FROM lp GROUP BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# robots-meta crawl-policy gate
+# ---------------------------------------------------------------------------
+
+#: deterministic robots-meta slice of the synthesized page fixture (the
+#: shipped corpus carries no robots directives, so — exactly like
+#: pii_redact's contact lines — they are injected in-flight and the gate
+#: must find them): doc_id mod 7 picks the directive.
+ROBOTS_MOD = 7
+ROBOTS_CASES = {0: "noindex", 3: "nofollow", 5: "noindex, nofollow"}
+_ROBOTS_META_FMT = '<meta name="robots" content="{}">'
+ROBOTS_RE = '<meta name="robots" content="([^"]*)">'
+
+
+def q_robots_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots-meta policy extraction: parse the per-page
+    ``<meta name="robots">`` directive out of the page HTML and derive
+    the indexable/followable verdicts the crawl pipeline gates on
+    (pages opting out of indexing must be dropped BEFORE extraction
+    spends kernel time on them; nofollow pages keep their text but
+    contribute no outlinks to the frontier).
+
+    ZERO shuffle: the page wrap, the directive injection, the regex
+    parse, and both verdicts are one codegen projection over the scan.
+    Reference analog: AnkiOCR's per-note "is this field already
+    populated / excluded" guard before OCR (`api.py:252-268`),
+    generalized to page-level crawl policy."""
+    from ankiocr_spark.ops import WRAP_PREFIX, WRAP_SUFFIX, doc_url, load
+
+    docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    meta = F.lit("")
+    for rem, directive in ROBOTS_CASES.items():
+        meta = (
+            F.when(F.col("doc_id") % ROBOTS_MOD == rem,
+                   F.lit(_ROBOTS_META_FMT.format(directive)))
+            .otherwise(meta)
+        )
+    html = F.concat(
+        F.lit("<html><head>"),
+        meta,
+        F.lit(WRAP_PREFIX.replace("<html><head>", "", 1)),
+        F.col("text"),
+        F.lit(WRAP_SUFFIX),
+    )
+    robots = F.regexp_extract(html, ROBOTS_RE, 1)
+    return docs.select(
+        "doc_id",
+        doc_url(F.col("doc_id")).alias("url"),
+        robots.alias("robots"),
+        (~robots.contains("noindex")).alias("indexable"),
+        (~robots.contains("nofollow")).alias("followable"),
+    )
+
+
+def _robots_meta_sql() -> str:
+    cases = " ".join(
+        f"WHEN doc_id % {ROBOTS_MOD} = {rem} "
+        f"THEN '{_ROBOTS_META_FMT.format(d)}'"
+        for rem, d in ROBOTS_CASES.items()
+    )
+    return f"CASE {cases} ELSE '' END"
+
+
+def _build_oracle_robots() -> str:
+    from ankiocr_spark.ops import URL_PREFIX, WRAP_PREFIX, WRAP_SUFFIX
+
+    prefix_rest = WRAP_PREFIX.replace("<html><head>", "", 1)
+    return f"""
+WITH pages AS (
+  SELECT doc_id, '{URL_PREFIX}' || doc_id::VARCHAR AS url,
+         '<html><head>' || {_robots_meta_sql()}
+           || '{prefix_rest}' || text || '{WRAP_SUFFIX}' AS html
+  FROM documents WHERE text IS NOT NULL)
+SELECT doc_id, url,
+       regexp_extract(html, '{ROBOTS_RE}', 1) AS robots,
+       NOT contains(regexp_extract(html, '{ROBOTS_RE}', 1), 'noindex')
+         AS indexable,
+       NOT contains(regexp_extract(html, '{ROBOTS_RE}', 1), 'nofollow')
+         AS followable
+FROM pages
+"""
+
+
 QUERIES = {
     "pii_redact": q_pii_redact,
+    "robots_policy": q_robots_policy,
     "repetition_filter": q_repetition_filter,
     "tfidf_top_terms": q_tfidf_top_terms,
     "blocklist_filter": q_blocklist_filter,
@@ -500,6 +584,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "pii_redact": ORACLE_PII_REDACT,
+    "robots_policy": _build_oracle_robots(),
     "repetition_filter": ORACLE_REPETITION,
     "tfidf_top_terms": ORACLE_TFIDF,
     "blocklist_filter": ORACLE_BLOCKLIST,

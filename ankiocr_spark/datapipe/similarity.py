@@ -394,11 +394,58 @@ SELECT query_id, rank, neighbor_id, cosine FROM topk WHERE rank <= {TOP_K}
 """
 
 
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation: recall@k of the IVF index against the
+    exact brute-force ground truth, per query — the measurement that
+    gates an index config (K, NPROBE) before it serves dedup/search at
+    scale. Pure composition of the two existing operators: the compare
+    join runs on (query_id, neighbor_id) id pairs — O(queries × k) rows,
+    trivially broadcastable.
+
+    Scale note: ground truth is exact brute force, so production runs
+    this on a SAMPLED query set (here: the same N_QUERIES sample both
+    operators already use) — the index serves the full corpus, the
+    recall estimate needs only the sample."""
+    truth = q_ann_topk_bruteforce(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    approx = q_ann_ivf_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = (
+        truth.join(approx, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    queries = truth.select("query_id").distinct()
+    return queries.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce("n_hits", F.lit(0).cast("bigint")).alias("n_hits"),
+        F.round(
+            F.coalesce("n_hits", F.lit(0).cast("bigint")) / F.lit(TOP_K), 6
+        ).alias("recall_at_k"),
+    )
+
+
+ORACLE_ANN_RECALL = f"""
+WITH truth AS (SELECT query_id, neighbor_id FROM ({ORACLE_ANN_TOPK}) bf),
+approx AS (SELECT query_id, neighbor_id FROM ({ORACLE_ANN_IVF}) ivf),
+hits AS (
+  SELECT t.query_id, count(*) AS n_hits
+  FROM truth t JOIN approx a USING (query_id, neighbor_id)
+  GROUP BY t.query_id)
+SELECT q.query_id,
+       coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+       round(coalesce(h.n_hits, 0) / {TOP_K}::DOUBLE, 6) AS recall_at_k
+FROM (SELECT DISTINCT query_id FROM truth) q
+LEFT JOIN hits h USING (query_id)
+"""
+
+
 QUERIES = {
     "ann_topk_bruteforce": q_ann_topk_bruteforce,
     "neardup_cosine": q_neardup_cosine,
     "ann_lsh_buckets": q_ann_lsh_buckets,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_recall": q_ann_recall,
 }
 
 ORACLE_SQL = {
@@ -406,4 +453,5 @@ ORACLE_SQL = {
     "neardup_cosine": ORACLE_NEARDUP,
     "ann_lsh_buckets": ORACLE_ANN_LSH,
     "ann_ivf_topk": ORACLE_ANN_IVF,
+    "ann_recall": ORACLE_ANN_RECALL,
 }

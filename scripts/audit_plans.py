@@ -74,6 +74,9 @@ AUDIT = [
     "seq_pack",
     "train_val_split",
     "crossdedup_lsh",
+    "rag_chunk",
+    "robots_policy",
+    "ann_recall",
 ]
 
 #: caveats rendered under the flags line — mostly for iterative queries,

@@ -222,3 +222,26 @@ def test_lm_perplexity_matches_python(spark, sf_dir):
         dropped += not r["keep"]
     # the floor is calibrated to BITE: both outcomes must occur
     assert kept > 0 and dropped > 0
+
+
+def test_robots_policy_verdicts(spark, sf_dir):
+    """Directive → verdict logic, checked per residue class: noindex
+    blocks indexing only, nofollow blocks frontier expansion only, the
+    combined directive blocks both, absent meta allows both."""
+    from ankiocr_spark.datapipe.curation import (
+        ROBOTS_CASES,
+        ROBOTS_MOD,
+        q_robots_policy,
+    )
+
+    rows = q_robots_policy(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        directive = ROBOTS_CASES.get(r["doc_id"] % ROBOTS_MOD, "")
+        assert r["robots"] == directive, r
+        assert r["indexable"] == ("noindex" not in directive)
+        assert r["followable"] == ("nofollow" not in directive)
+        assert r["url"].endswith(str(r["doc_id"]))
+    # all four policy outcomes occur in the fixture slice
+    seen = {(r["indexable"], r["followable"]) for r in rows}
+    assert seen == {(True, True), (False, True), (True, False), (False, False)}

@@ -50,3 +50,30 @@ def test_lsh_buckets_pure_projection(spark, sf_dir):
     n_vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
     assert df.count() == n_vecs
     assert df.where((F.col("bucket") < 0) | (F.col("bucket") > 255)).count() == 0
+
+
+def test_ann_recall_consistent_with_component_queries(spark, sf_dir):
+    """recall@k recomputed driver-side from the two component operators'
+    own outputs must equal the composed query's report (independent of
+    the join/agg path), and IVF must find a nonzero fraction overall."""
+    from ankiocr_spark.datapipe.similarity import (
+        TOP_K,
+        q_ann_ivf_topk,
+        q_ann_recall,
+        q_ann_topk_bruteforce,
+    )
+
+    truth = {}
+    for r in q_ann_topk_bruteforce(spark, sf_dir).collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    approx = {}
+    for r in q_ann_ivf_topk(spark, sf_dir).collect():
+        approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    got = {r["query_id"]: r for r in q_ann_recall(spark, sf_dir).collect()}
+    assert set(got) == set(truth)
+    for qid, t in truth.items():
+        hits = len(t & approx.get(qid, set()))
+        assert got[qid]["n_hits"] == hits
+        assert got[qid]["recall_at_k"] == round(hits / TOP_K, 6)
+        assert 0 <= got[qid]["n_hits"] <= TOP_K
+    assert sum(r["n_hits"] for r in got.values()) > 0
