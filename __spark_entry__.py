@@ -69,6 +69,7 @@ _FRONT = [
     "rag_chunk",
     "robots_policy",
     "ann_recall",
+    "boilerplate_strip",
 ]
 
 #: long-stable singletons (multi-round green driver rows), rotated past
@@ -76,6 +77,7 @@ _FRONT = [
 #: last two make the 50-query boundary explicit rather than letting the
 #: module iteration order pick who falls out.
 _TAIL = [
+    "url_normalize",
     "quality_score",
     "token_count",
     "lang_id",

@@ -572,9 +572,115 @@ FROM pages
 """
 
 
+# ---------------------------------------------------------------------------
+# per-host boilerplate line stripping (CCNet / trafilatura-style)
+# ---------------------------------------------------------------------------
+
+#: a line is boilerplate for a host when it appears in at least half of
+#: the host's documents. Integer form (2*df >= n_docs) so Spark and the
+#: DuckDB oracle compare exactly — no float-threshold divergence.
+BOILER_DF_NUM, BOILER_DF_DEN = 1, 2
+_NAV_LINE_FMT = "nav {} home about contact login"
+_PROMO_LINE = "promo subscribe to the newsletter today"
+PROMO_MOD = 3
+
+
+def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host boilerplate removal: lines that recur across most of a
+    host's pages (nav bars, footers, cookie banners) are template, not
+    content — CCNet and trafilatura both strip them by per-host line
+    frequency before any quality gate sees the text. The fixture corpus
+    has no shared lines, so (like pii_redact's contact lines) a
+    deterministic template is injected in-flight: every page of a host
+    gets the host's nav line (line-df 1.0 → stripped) and every third
+    doc gets a promo line (line-df ≈ 0.33 → kept below the ≥ 1/2 gate).
+
+    Scale shape: line-df stats are ONE map-side-combined aggregate over
+    (host, line) — distinct lines per host is template-bounded, so the
+    flagged set is tiny and broadcasts back onto the corpus (the corpus
+    itself never shuffles). The strip is a codegen array filter against
+    the host's broadcast line set. Reference analog: AnkiOCR's cleanup
+    of fixed OCR artifacts before writeback (`ocr.py:141-149`), lifted
+    from per-string constants to corpus-learned per-host templates."""
+    docs = (
+        _docs(spark, sf_dir)
+        .where(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            "source",
+            F.concat_ws(
+                "\n",
+                F.concat(F.lit("nav "), F.col("source"),
+                         F.lit(" home about contact login")),
+                F.when(F.col("doc_id") % PROMO_MOD == 0, F.lit(_PROMO_LINE)),
+                F.col("text"),
+            ).alias("page"),
+        )
+    )
+    lines = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.array_distinct(F.split("page", "\n"))).alias("line"),
+    )
+    host_docs = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    boiler = (
+        lines.groupBy("source", "line")
+        .agg(F.count("*").alias("df"))
+        .join(host_docs, "source")
+        .where(BOILER_DF_DEN * F.col("df") >= BOILER_DF_NUM * F.col("n_docs"))
+        .groupBy("source")
+        .agg(F.sort_array(F.collect_set("line")).alias("bl"))
+    )
+    paged = docs.join(F.broadcast(boiler), "source", "left").select(
+        "doc_id",
+        F.split("page", "\n").alias("_lines"),
+        F.coalesce("bl", F.array().cast("array<string>")).alias("_bl"),
+    )
+    kept = F.filter("_lines", lambda l: ~F.array_contains(F.col("_bl"), l))
+    return paged.select(
+        "doc_id",
+        F.size("_lines").cast("bigint").alias("n_lines"),
+        (F.size("_lines") - F.size(kept)).cast("bigint").alias("n_boiler"),
+        F.array_join(kept, "\n").alias("clean_text"),
+    )
+
+
+ORACLE_BOILERPLATE = f"""
+WITH pages AS (
+  SELECT doc_id, source,
+         'nav ' || source || ' home about contact login' || chr(10)
+           || CASE WHEN doc_id % {PROMO_MOD} = 0
+                   THEN '{_PROMO_LINE}' || chr(10) ELSE '' END
+           || text AS page
+  FROM documents WHERE text IS NOT NULL),
+lines AS (
+  SELECT doc_id, source, unnest(list_distinct(str_split(page, chr(10)))) AS line
+  FROM pages),
+host_docs AS (SELECT source, count(*) AS n_docs FROM pages GROUP BY source),
+boiler AS (
+  SELECT lf.source, lf.line
+  FROM (SELECT source, line, count(*) AS df FROM lines GROUP BY source, line) lf
+  JOIN host_docs h USING (source)
+  WHERE {BOILER_DF_DEN} * df >= {BOILER_DF_NUM} * n_docs),
+bl AS (SELECT source, list_sort(list(line)) AS bl FROM boiler GROUP BY source),
+joined AS (
+  SELECT p.doc_id, str_split(p.page, chr(10)) AS ls,
+         coalesce(b.bl, []) AS bl
+  FROM pages p LEFT JOIN bl b USING (source))
+SELECT doc_id,
+       len(ls)::BIGINT AS n_lines,
+       (len(ls) - len(list_filter(ls, x -> NOT list_contains(bl, x))))::BIGINT
+         AS n_boiler,
+       array_to_string(list_filter(ls, x -> NOT list_contains(bl, x)), chr(10))
+         AS clean_text
+FROM joined
+"""
+
+
 QUERIES = {
     "pii_redact": q_pii_redact,
     "robots_policy": q_robots_policy,
+    "boilerplate_strip": q_boilerplate_strip,
     "repetition_filter": q_repetition_filter,
     "tfidf_top_terms": q_tfidf_top_terms,
     "blocklist_filter": q_blocklist_filter,
@@ -585,6 +691,7 @@ QUERIES = {
 ORACLE_SQL = {
     "pii_redact": ORACLE_PII_REDACT,
     "robots_policy": _build_oracle_robots(),
+    "boilerplate_strip": ORACLE_BOILERPLATE,
     "repetition_filter": ORACLE_REPETITION,
     "tfidf_top_terms": ORACLE_TFIDF,
     "blocklist_filter": ORACLE_BLOCKLIST,

@@ -52,6 +52,7 @@ SECONDARY = [
     "seq_pack",
     "crossdedup_lsh",
     "train_val_split",
+    "boilerplate_strip",
 ]
 
 

@@ -77,6 +77,7 @@ AUDIT = [
     "rag_chunk",
     "robots_policy",
     "ann_recall",
+    "boilerplate_strip",
 ]
 
 #: caveats rendered under the flags line — mostly for iterative queries,

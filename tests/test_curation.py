@@ -245,3 +245,44 @@ def test_robots_policy_verdicts(spark, sf_dir):
     # all four policy outcomes occur in the fixture slice
     seen = {(r["indexable"], r["followable"]) for r in rows}
     assert seen == {(True, True), (False, True), (True, False), (False, False)}
+
+
+def test_boilerplate_strip_matches_python(spark, sf_dir):
+    from collections import defaultdict
+
+    from ankiocr_spark.datapipe.curation import (
+        BOILER_DF_DEN,
+        BOILER_DF_NUM,
+        PROMO_MOD,
+        _PROMO_LINE,
+        q_boilerplate_strip,
+    )
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, source, text FROM "
+        f"read_parquet('{sf_dir}/documents.parquet') WHERE text IS NOT NULL"
+    ).fetchall()
+    pages = {}
+    for doc_id, source, text in rows:
+        nav = f"nav {source} home about contact login"
+        promo = [_PROMO_LINE] if doc_id % PROMO_MOD == 0 else []
+        pages[doc_id] = (source, [nav, *promo, *text.split("\n")])
+    n_docs, df = Counter(), defaultdict(Counter)
+    for source, lines in pages.values():
+        n_docs[source] += 1
+        for line in set(lines):
+            df[source][line] += 1
+    boiler = {
+        s: {l for l, d in df[s].items() if BOILER_DF_DEN * d >= BOILER_DF_NUM * n_docs[s]}
+        for s in n_docs
+    }
+    out = {r["doc_id"]: r for r in q_boilerplate_strip(spark, sf_dir).collect()}
+    assert set(out) == set(pages)
+    for doc_id, (source, lines) in pages.items():
+        kept = [l for l in lines if l not in boiler[source]]
+        r = out[doc_id]
+        assert r["n_lines"] == len(lines)
+        assert r["n_boiler"] == len(lines) - len(kept)
+        assert r["clean_text"] == "\n".join(kept)
+        # the injected nav line has per-host df 1.0 — always stripped
+        assert f"nav {source} " not in r["clean_text"]
