@@ -636,12 +636,19 @@ def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split("page", "\n").alias("_lines"),
         F.coalesce("bl", F.array().cast("array<string>")).alias("_bl"),
     )
-    kept = F.filter("_lines", lambda l: ~F.array_contains(F.col("_bl"), l))
-    return paged.select(
+    # project the filtered array ONCE below the consumers: HOF lambdas are
+    # interpreted (no codegen CSE), so referencing `kept` twice in one
+    # select would run the array filter twice per row (docs/PLANS.md §CSE).
+    kept_rows = paged.select(
         "doc_id",
         F.size("_lines").cast("bigint").alias("n_lines"),
-        (F.size("_lines") - F.size(kept)).cast("bigint").alias("n_boiler"),
-        F.array_join(kept, "\n").alias("clean_text"),
+        F.filter("_lines", lambda l: ~F.array_contains(F.col("_bl"), l)).alias("_kept"),
+    )
+    return kept_rows.select(
+        "doc_id",
+        "n_lines",
+        (F.col("n_lines") - F.size("_kept")).cast("bigint").alias("n_boiler"),
+        F.array_join("_kept", "\n").alias("clean_text"),
     )
 
 
