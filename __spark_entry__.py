@@ -70,6 +70,9 @@ _FRONT = [
     "robots_policy",
     "ann_recall",
     "boilerplate_strip",
+    "cluster_keeper",
+    "vocab_topn",
+    "bm25_topk",
 ]
 
 #: long-stable singletons (multi-round green driver rows), rotated past
@@ -78,6 +81,9 @@ _FRONT = [
 #: module iteration order pick who falls out.
 _TAIL = [
     "url_normalize",
+    "dedup_simhash",
+    "stream_dedup",
+    "error_report",
     "quality_score",
     "token_count",
     "lang_id",

@@ -860,6 +860,68 @@ FROM reach GROUP BY doc
 """
 
 
+def q_cluster_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keeper selection within near-dup clusters: the decision step after
+    ``q_dedup_cc_clusters`` — per cluster, KEEP exactly one member and drop
+    the rest. Policy: keep the LONGEST document (near-dups are routinely
+    truncations/paginations of one another, so longest ≈ most complete),
+    tiebreak on smallest doc_id. Length in whitespace tokens keeps the
+    ordering INTEGER-exact — a float quality key could order differently
+    in Spark vs the oracle on last-bit ties.
+
+    Scale shape: the cluster assignment is the expensive part (already
+    measured); this step adds one broadcast-able join from the (small —
+    only docs appearing in ≥1 pair) cluster table onto the corpus and one
+    window whose partitions are near-dup clusters (size-capped upstream by
+    ``MAX_BAND_BUCKET``-style blocking, so no skewed window partition).
+
+    Members rank over the SAME augmented corpus the pair graph is built
+    on (``q_dedup_simhash_pairs``'s in-flight injected near-dup copies,
+    one token longer than their originals) — so every injected copy wins
+    its cluster, exercising the longest-not-smallest-id branch."""
+    clusters = q_dedup_cc_clusters(spark, sf_dir)
+    base = _load_docs(spark, sf_dir).select("doc_id", "text")
+    neardups = base.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" neardup")).alias("text"),
+    )
+    docs = (
+        base.unionByName(neardups)
+        .where(F.col("text").isNotNull())
+        .select("doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"))
+    )
+    members = docs.join(F.broadcast(clusters), "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_tokens").desc(), F.col("doc_id").asc()
+    )
+    return members.select(
+        "doc_id",
+        "cluster_id",
+        "n_tokens",
+        (F.row_number().over(w) == 1).alias("keep"),
+    )
+
+
+#: the recursive-CTE closure is embedded as a derived table so keeper and
+#: cluster oracles cannot drift apart
+ORACLE_CLUSTER_KEEPER = f"""
+WITH keeper_corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text || ' neardup' AS text
+  FROM documents WHERE doc_id % 10 = 0)
+SELECT d.doc_id,
+       cc.cluster_id,
+       len(str_split(d.text, ' '))::BIGINT AS n_tokens,
+       (row_number() OVER (
+          PARTITION BY cc.cluster_id
+          ORDER BY len(str_split(d.text, ' ')) DESC, d.doc_id ASC) = 1) AS keep
+FROM ({ORACLE_DEDUP_CC}) cc
+JOIN keeper_corpus d USING (doc_id)
+WHERE d.text IS NOT NULL
+"""
+
+
 # --- exact-substring dedup (repeated-span detection) --------------------------
 
 #: window width in tokens. Lee et al. (2022, "Deduplicating Training Data
@@ -979,6 +1041,7 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_cc_clusters": q_dedup_cc_clusters,
+    "cluster_keeper": q_cluster_keeper,
     "decontaminate": q_decontaminate,
 }
 
@@ -992,5 +1055,6 @@ ORACLE_SQL = {
     "dedup_simhash": ORACLE_DEDUP_SIMHASH,
     "dedup_simhash_pairs": ORACLE_DEDUP_SIMHASH_PAIRS,
     "dedup_cc_clusters": ORACLE_DEDUP_CC,
+    "cluster_keeper": ORACLE_CLUSTER_KEEPER,
     "decontaminate": ORACLE_DECONTAMINATE,
 }

@@ -115,6 +115,169 @@ FROM documents
 """
 
 
+#: vocabulary size for the tokenizer-training corpus sweep (BPE/WordPiece
+#: trainers start from exactly this table: term → corpus frequency).
+VOCAB_TOP_N = 200
+
+
+def q_vocab_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: the top-N whitespace tokens by total frequency —
+    the word-count pass every tokenizer-training pipeline runs over the
+    cleaned corpus before fitting merges. Full (freq DESC, token ASC)
+    ordering makes the selected SET deterministic across engines even when
+    frequencies tie at the cut.
+
+    Scale shape: the classic map-side-combined word count — ONE exchange
+    of (token, partial count) keys, then ``orderBy().limit()`` compiles to
+    TakeOrderedAndProject (per-partition top-N heaps + a driver merge of
+    N·partitions rows), never a global sort of the vocabulary."""
+    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    toks = docs.select(
+        F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("token")
+    )
+    return (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("token").asc())
+        .limit(VOCAB_TOP_N)
+    )
+
+
+ORACLE_VOCAB = f"""
+SELECT token, count(*)::BIGINT AS freq
+FROM (SELECT unnest(list_filter(str_split(text, ' '), x -> x <> '')) AS token
+      FROM documents WHERE text IS NOT NULL)
+GROUP BY token
+ORDER BY freq DESC, token ASC
+LIMIT {VOCAB_TOP_N}
+"""
+
+
+# --- BM25 retrieval scoring ---------------------------------------------------
+
+#: fixed keyword query for the retrieval benchmark — terms from the fixture
+#: generator's vocabulary so every sf has hits.
+BM25_QUERY = ("spark", "query", "table")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 25
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-k document retrieval for a fixed keyword query —
+    the scoring function behind keyword search over the corpus (and the
+    sparse half of hybrid retrieval next to the ANN queries).
+
+    Cross-engine float discipline: per-term scores are summed in FIXED
+    query order inside one projection (never a float sum aggregate, whose
+    partial-agg order is nondeterministic), and every input to the double
+    math is an exact integer (tf, dl, df, N) or a shared literal — so
+    Spark and the oracle produce bit-identical doubles, the top-k cut
+    agrees, and ties (duplicate docs) break on doc_id.
+
+    Scale shape: tf/dl are per-row array ops over ONE projected token
+    array (zero shuffle); corpus stats (N, Σdl, per-term df) are a second
+    pruned scan folding to ONE row — at index time these stats are
+    precomputed once and amortized over every query, which is why they
+    are driver scalars here, not a third join branch; top-k compiles to
+    TakeOrderedAndProject (per-partition heaps). A production engine adds
+    an inverted index (`tfidf_top_terms` is the posting builder); this is
+    the scorer, exact by construction."""
+    base = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    # token array projected ONCE below its consumers (HOF lambdas have no
+    # codegen CSE — docs/PLANS.md §CSE)
+    toks = base.select(
+        "doc_id", F.filter(F.split("text", " "), lambda x: x != "").alias("_toks")
+    )
+
+    # NB: a two-parameter lambda is the (element, index) form to F.filter,
+    # so the term must bind via function scope, not a default argument.
+    def _tf(term: str):
+        return F.size(F.filter("_toks", lambda x: x == F.lit(term))).cast("bigint")
+
+    per_doc = toks.select(
+        "doc_id",
+        F.size("_toks").cast("bigint").alias("dl"),
+        *[_tf(t).alias(f"tf{i}") for i, t in enumerate(BM25_QUERY)],
+    )
+    stats = per_doc.agg(
+        F.count("*").alias("n"),
+        F.sum("dl").alias("total_dl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("int")).alias(f"df{i}")
+            for i in range(len(BM25_QUERY))
+        ],
+    ).first()
+    n_docs, total_dl = int(stats["n"]), int(stats["total_dl"])
+    norm = F.lit(BM25_K1) * (
+        F.lit(1.0)
+        - F.lit(BM25_B)
+        + F.lit(BM25_B)
+        * (F.col("dl").cast("double") / (F.lit(total_dl) / F.lit(n_docs)))
+    )
+    score = None
+    for i in range(len(BM25_QUERY)):
+        df_i = int(stats[f"df{i}"])
+        idf = F.log(
+            (F.lit(n_docs - df_i) + F.lit(0.5)) / (F.lit(df_i) + F.lit(0.5))
+            + F.lit(1.0)
+        )
+        s_i = idf * (
+            (F.col(f"tf{i}") * F.lit(BM25_K1 + 1.0)) / (F.col(f"tf{i}") + norm)
+        )
+        score = s_i if score is None else score + s_i
+    scored = per_doc.select(
+        "doc_id", F.col("dl").alias("n_tokens"), score.alias("_raw")
+    )
+    return (
+        scored.orderBy(F.col("_raw").desc(), F.col("doc_id").asc())
+        .limit(BM25_TOP_K)
+        .select("doc_id", "n_tokens", F.round("_raw", 6).alias("bm25"))
+    )
+
+
+def _bm25_oracle() -> str:
+    k1, b, k1p1 = BM25_K1, BM25_B, BM25_K1 + 1.0
+    tf_cols = ",\n         ".join(
+        f"len(list_filter(toks, x -> x = '{t}'))::BIGINT AS tf{i}"
+        for i, t in enumerate(BM25_QUERY)
+    )
+    df_cols = ", ".join(
+        f"sum((tf{i} > 0)::INT)::BIGINT AS df{i}" for i in range(len(BM25_QUERY))
+    )
+    terms = " + ".join(
+        f"(ln(((n_docs - df{i}) + 0.5::DOUBLE) / (df{i} + 0.5::DOUBLE)"
+        f" + 1.0::DOUBLE)"
+        f" * ((tf{i} * {k1p1}::DOUBLE)"
+        f" / (tf{i} + {k1}::DOUBLE * ((1.0::DOUBLE - {b}::DOUBLE)"
+        f" + {b}::DOUBLE * (dl / (total_dl / n_docs))))))"
+        for i in range(len(BM25_QUERY))
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS toks
+  FROM documents WHERE text IS NOT NULL),
+per_doc AS (
+  SELECT doc_id,
+         len(toks)::BIGINT AS dl,
+         {tf_cols}
+  FROM toks),
+stats AS (
+  SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS total_dl, {df_cols}
+  FROM per_doc),
+scored AS (
+  SELECT doc_id, dl AS n_tokens, {terms} AS raw
+  FROM per_doc CROSS JOIN stats)
+SELECT doc_id, n_tokens, round(raw, 6) AS bm25
+FROM scored
+ORDER BY raw DESC, doc_id ASC
+LIMIT {BM25_TOP_K}
+"""
+
+
+ORACLE_BM25 = _bm25_oracle()
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic document fingerprint: hash of normalized prefix +
     length — the cheap first-pass near-dup key (rolling-hash analog)."""
@@ -221,6 +384,8 @@ QUERIES = {
     "quality_percentiles": q_quality_percentiles,
     "quality_score": q_quality_score,
     "token_count": q_token_count,
+    "vocab_topn": q_vocab_topn,
+    "bm25_topk": q_bm25_topk,
     "doc_fingerprint": q_fingerprint,
     "training_set_select": q_training_set_select,
 }
@@ -230,6 +395,8 @@ ORACLE_SQL = {
     "quality_percentiles": ORACLE_QUALITY_PERCENTILES,
     "quality_score": ORACLE_QUALITY,
     "token_count": ORACLE_TOKEN_COUNT,
+    "vocab_topn": ORACLE_VOCAB,
+    "bm25_topk": ORACLE_BM25,
     "doc_fingerprint": ORACLE_FINGERPRINT,
     "training_set_select": ORACLE_TRAINING_SET,
 }

@@ -53,6 +53,9 @@ SECONDARY = [
     "crossdedup_lsh",
     "train_val_split",
     "boilerplate_strip",
+    "cluster_keeper",
+    "vocab_topn",
+    "bm25_topk",
 ]
 
 

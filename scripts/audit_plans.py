@@ -78,6 +78,9 @@ AUDIT = [
     "robots_policy",
     "ann_recall",
     "boilerplate_strip",
+    "cluster_keeper",
+    "vocab_topn",
+    "bm25_topk",
 ]
 
 #: caveats rendered under the flags line — mostly for iterative queries,

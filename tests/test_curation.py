@@ -286,3 +286,30 @@ def test_boilerplate_strip_matches_python(spark, sf_dir):
         assert r["clean_text"] == "\n".join(kept)
         # the injected nav line has per-host df 1.0 — always stripped
         assert f"nav {source} " not in r["clean_text"]
+
+
+def test_cluster_keeper_is_longest_member_once_per_cluster(spark, sf_dir):
+    from ankiocr_spark.datapipe.dedup import q_cluster_keeper
+
+    # the same augmented corpus the pair graph is built over: originals
+    # plus the injected near-dup copies (one token longer, id + 1e6)
+    n_tokens = {}
+    for doc_id, text in duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet') "
+        "WHERE text IS NOT NULL"
+    ).fetchall():
+        n_tokens[doc_id] = len(text.split(" "))
+        if doc_id % 10 == 0:
+            n_tokens[doc_id + 1000000] = n_tokens[doc_id] + 1
+    rows = q_cluster_keeper(spark, sf_dir).collect()
+    by_cluster = {}
+    for r in rows:
+        assert r["n_tokens"] == n_tokens[r["doc_id"]]
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cid, members in by_cluster.items():
+        assert len(members) >= 2, "singleton clusters cannot come from a pair graph"
+        keepers = [r for r in members if r["keep"]]
+        assert len(keepers) == 1
+        # keeper = argmax over (n_tokens, -doc_id): longest, then smallest id
+        best = min(members, key=lambda r: (-r["n_tokens"], r["doc_id"]))
+        assert keepers[0]["doc_id"] == best["doc_id"]

@@ -89,3 +89,63 @@ def test_quality_percentiles_match_numpy(spark, sf_dir):
         assert abs(r["quality_p50"] - round(float(np.percentile(vals, 50)), 6)) <= 1e-6
         assert abs(r["quality_p90"] - round(float(np.percentile(vals, 90)), 6)) <= 1e-6
         assert r["quality_p50"] <= r["quality_p90"]
+
+
+def test_vocab_topn_matches_counter(spark, sf_dir):
+    from collections import Counter
+
+    import duckdb
+
+    from ankiocr_spark.datapipe.textstats import VOCAB_TOP_N, q_vocab_topn
+
+    counts = Counter()
+    for (text,) in duckdb.sql(
+        f"SELECT text FROM read_parquet('{sf_dir}/documents.parquet') "
+        "WHERE text IS NOT NULL"
+    ).fetchall():
+        counts.update(t for t in text.split(" ") if t)
+    expected = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:VOCAB_TOP_N]
+    got = [(r["token"], r["freq"]) for r in q_vocab_topn(spark, sf_dir).collect()]
+    assert sorted(got) == sorted(expected)
+
+
+def test_bm25_topk_matches_python(spark, sf_dir):
+    import math
+
+    import duckdb
+
+    from ankiocr_spark.datapipe.textstats import (
+        BM25_B,
+        BM25_K1,
+        BM25_QUERY,
+        BM25_TOP_K,
+        q_bm25_topk,
+    )
+
+    docs = {
+        doc_id: [t for t in text.split(" ") if t]
+        for doc_id, text in duckdb.sql(
+            f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet') "
+            "WHERE text IS NOT NULL"
+        ).fetchall()
+    }
+    n = len(docs)
+    avgdl = sum(len(t) for t in docs.values()) / n
+    df = {t: sum(1 for toks in docs.values() if t in toks) for t in BM25_QUERY}
+    scored = []
+    for doc_id, toks in docs.items():
+        s = 0.0
+        for t in BM25_QUERY:
+            tf = toks.count(t)
+            idf = math.log((n - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+            s += idf * (tf * (BM25_K1 + 1.0)) / (
+                tf + BM25_K1 * (1.0 - BM25_B + BM25_B * len(toks) / avgdl)
+            )
+        scored.append((doc_id, len(toks), s))
+    scored.sort(key=lambda r: (-r[2], r[0]))
+    expected = [(d, dl, round(s, 6)) for d, dl, s in scored[:BM25_TOP_K]]
+    got = [
+        (r["doc_id"], r["n_tokens"], round(r["bm25"], 6))
+        for r in q_bm25_topk(spark, sf_dir).collect()
+    ]
+    assert got == expected
