@@ -73,6 +73,7 @@ _FRONT = [
     "cluster_keeper",
     "vocab_topn",
     "bm25_topk",
+    "hybrid_rrf",
 ]
 
 #: long-stable singletons (multi-round green driver rows), rotated past
@@ -84,6 +85,7 @@ _TAIL = [
     "dedup_simhash",
     "stream_dedup",
     "error_report",
+    "outlinks",
     "quality_score",
     "token_count",
     "lang_id",

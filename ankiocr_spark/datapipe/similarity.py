@@ -440,8 +440,126 @@ LEFT JOIN hits h USING (query_id)
 """
 
 
+# --- hybrid retrieval (sparse BM25 + dense cosine, RRF fusion) ----------------
+
+RRF_C = 60          # the standard reciprocal-rank-fusion damping constant
+HYBRID_K = 25       # depth of each retriever's candidate list
+DENSE_QUERY_ID = 0  # the dense query vector (one of the ANN query sample)
+
+
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: fuse the BM25 keyword list (`q_bm25_topk`) with a
+    dense cosine list for one query vector via reciprocal-rank fusion —
+    score(d) = Σ_lists 1/(C + rank_list(d)), the standard way search
+    stacks combine sparse and dense retrieval without score calibration.
+
+    RRF is integer-native: ranks are ints, each term is 1/(60+rank) over
+    exact ints, and the two terms add in fixed (sparse, dense) order — so
+    scores are bit-identical across engines; docs absent from a list
+    contribute nothing and surface rank 0. The only non-tiny windows rank
+    the candidate LISTS (HYBRID_K rows each — the single-partition window
+    is over 25 rows, not the corpus); the fuse is a full-outer join of two
+    25-row lists. At serving scale both lists come from their indexes
+    (inverted / IVF) and this query is exactly the fusion head."""
+    from ankiocr_spark.datapipe import textstats
+
+    sparse = textstats.q_bm25_topk(spark, sf_dir).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()))
+        .alias("sparse_rank"),
+    )
+    emb = _load_emb(spark, sf_dir)
+    qv = emb.where(F.col("vec_id") == DENSE_QUERY_ID).select(
+        F.col("emb").alias("q_emb")
+    )
+    dense_scored = (
+        emb.where(F.col("vec_id") != DENSE_QUERY_ID)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            _cos(F.col("q_emb"), F.col("emb")).alias("cosine"),
+        )
+    )
+    dense = (
+        dense_scored.select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.col("cosine").desc(), F.col("doc_id").asc()))
+            .alias("dense_rank"),
+        )
+        .where(F.col("dense_rank") <= HYBRID_K)
+    )
+    fused = sparse.join(dense, "doc_id", "full_outer").select(
+        "doc_id",
+        F.coalesce("sparse_rank", F.lit(0)).alias("sparse_rank"),
+        F.coalesce("dense_rank", F.lit(0)).alias("dense_rank"),
+        (
+            F.when(
+                F.col("sparse_rank").isNotNull(),
+                F.lit(1.0) / (F.lit(RRF_C) + F.col("sparse_rank")),
+            ).otherwise(F.lit(0.0))
+            + F.when(
+                F.col("dense_rank").isNotNull(),
+                F.lit(1.0) / (F.lit(RRF_C) + F.col("dense_rank")),
+            ).otherwise(F.lit(0.0))
+        ).alias("_raw"),
+    )
+    return (
+        fused.orderBy(F.col("_raw").desc(), F.col("doc_id").asc())
+        .limit(HYBRID_K)
+        .select(
+            "doc_id", "sparse_rank", "dense_rank", F.round("_raw", 6).alias("rrf")
+        )
+    )
+
+
+def _hybrid_oracle() -> str:
+    from ankiocr_spark.datapipe.textstats import ORACLE_BM25
+
+    return f"""
+WITH sparse AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS sparse_rank
+  FROM ({ORACLE_BM25})),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+dense_scored AS (
+  SELECT n.vec_id AS doc_id,
+         round(list_sum(list_transform(list_zip(q.emb, n.emb), x -> x[1] * x[2]))
+               / (sqrt(list_sum(list_transform(q.emb, x -> x * x)))
+                * sqrt(list_sum(list_transform(n.emb, x -> x * x)))),
+         6) AS cosine
+  FROM e q, e n
+  WHERE q.vec_id = {DENSE_QUERY_ID} AND n.vec_id <> {DENSE_QUERY_ID}),
+dense_all AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY cosine DESC, doc_id ASC) AS dense_rank
+  FROM dense_scored),
+dense AS (SELECT doc_id, dense_rank FROM dense_all WHERE dense_rank <= {HYBRID_K}),
+fused AS (
+  SELECT doc_id,
+         coalesce(s.sparse_rank, 0) AS sparse_rank,
+         coalesce(d.dense_rank, 0) AS dense_rank,
+         (CASE WHEN s.sparse_rank IS NOT NULL
+               THEN 1.0::DOUBLE / ({RRF_C} + s.sparse_rank)
+               ELSE 0.0::DOUBLE END
+        + CASE WHEN d.dense_rank IS NOT NULL
+               THEN 1.0::DOUBLE / ({RRF_C} + d.dense_rank)
+               ELSE 0.0::DOUBLE END) AS raw
+  FROM sparse s FULL OUTER JOIN dense d USING (doc_id))
+SELECT doc_id, sparse_rank, dense_rank, round(raw, 6) AS rrf
+FROM fused
+ORDER BY raw DESC, doc_id ASC
+LIMIT {HYBRID_K}
+"""
+
+
+ORACLE_HYBRID_RRF = _hybrid_oracle()
+
+
 QUERIES = {
     "ann_topk_bruteforce": q_ann_topk_bruteforce,
+    "hybrid_rrf": q_hybrid_rrf,
     "neardup_cosine": q_neardup_cosine,
     "ann_lsh_buckets": q_ann_lsh_buckets,
     "ann_ivf_topk": q_ann_ivf_topk,
@@ -450,6 +568,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "ann_topk_bruteforce": ORACLE_ANN_TOPK,
+    "hybrid_rrf": ORACLE_HYBRID_RRF,
     "neardup_cosine": ORACLE_NEARDUP,
     "ann_lsh_buckets": ORACLE_ANN_LSH,
     "ann_ivf_topk": ORACLE_ANN_IVF,

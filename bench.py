@@ -56,6 +56,7 @@ SECONDARY = [
     "cluster_keeper",
     "vocab_topn",
     "bm25_topk",
+    "hybrid_rrf",
 ]
 
 

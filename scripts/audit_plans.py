@@ -81,6 +81,7 @@ AUDIT = [
     "cluster_keeper",
     "vocab_topn",
     "bm25_topk",
+    "hybrid_rrf",
 ]
 
 #: caveats rendered under the flags line — mostly for iterative queries,

@@ -77,3 +77,65 @@ def test_ann_recall_consistent_with_component_queries(spark, sf_dir):
         assert got[qid]["recall_at_k"] == round(hits / TOP_K, 6)
         assert 0 <= got[qid]["n_hits"] <= TOP_K
     assert sum(r["n_hits"] for r in got.values()) > 0
+
+
+def test_hybrid_rrf_matches_python(spark, sf_dir):
+    import math
+
+    import duckdb
+
+    from ankiocr_spark.datapipe.similarity import (
+        DENSE_QUERY_ID,
+        HYBRID_K,
+        RRF_C,
+        q_hybrid_rrf,
+    )
+    from ankiocr_spark.datapipe.textstats import q_bm25_topk
+
+    # sparse list: rank the (already value-oracled) BM25 output
+    sparse_rows = sorted(
+        ((r["bm25"], r["doc_id"]) for r in q_bm25_topk(spark, sf_dir).collect()),
+        key=lambda t: (-t[0], t[1]),
+    )
+    sparse_rank = {doc: i + 1 for i, (_, doc) in enumerate(sparse_rows)}
+    # dense list: independent cosine in Python (same 6dp rounding contract)
+    vecs = {
+        vid: [float(x) for x in emb]
+        for vid, emb in duckdb.sql(
+            f"SELECT vec_id, embedding FROM "
+            f"read_parquet('{sf_dir}/embeddings.parquet')"
+        ).fetchall()
+    }
+    q = vecs[DENSE_QUERY_ID]
+    qn = math.sqrt(sum(x * x for x in q))
+    cos = {
+        vid: round(
+            sum(a * b for a, b in zip(q, v))
+            / (qn * math.sqrt(sum(x * x for x in v))),
+            6,
+        )
+        for vid, v in vecs.items()
+        if vid != DENSE_QUERY_ID
+    }
+    dense_sorted = sorted(cos, key=lambda d: (-cos[d], d))
+    dense_rank = {d: i + 1 for i, d in enumerate(dense_sorted[:HYBRID_K])}
+    fused = {}
+    for d in set(sparse_rank) | set(dense_rank):
+        s = 1.0 / (RRF_C + sparse_rank[d]) if d in sparse_rank else 0.0
+        dn = 1.0 / (RRF_C + dense_rank[d]) if d in dense_rank else 0.0
+        fused[d] = s + dn
+    top = sorted(fused, key=lambda d: (-fused[d], d))[:HYBRID_K]
+    expected = [
+        (d, sparse_rank.get(d, 0), dense_rank.get(d, 0), round(fused[d], 6))
+        for d in top
+    ]
+    got = [
+        (r["doc_id"], r["sparse_rank"], r["dense_rank"], round(r["rrf"], 6))
+        for r in q_hybrid_rrf(spark, sf_dir).collect()
+    ]
+    assert got == expected
+    # fusion sanity: any doc on BOTH lists outranks rank-equivalent
+    # single-list docs
+    both = [r for r in got if r[1] > 0 and r[2] > 0]
+    for r in both:
+        assert r[3] > 1.0 / (RRF_C + min(r[1], r[2])) - 1e-9
