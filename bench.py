@@ -53,7 +53,10 @@ SECONDARY = [
     "crossdedup_lsh",
     "train_val_split",
     "boilerplate_strip",
-    "cluster_keeper",
+    # cluster_keeper is NOT timed: at sf0.1 it re-runs the whole
+    # simhash-pair + CC-propagation chain (~69 s, dominated by stages the
+    # pair/cluster queries already characterize); the keeper itself adds
+    # one broadcast join + one cluster-partitioned window.
     "vocab_topn",
     "bm25_topk",
     "hybrid_rrf",

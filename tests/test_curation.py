@@ -313,3 +313,22 @@ def test_cluster_keeper_is_longest_member_once_per_cluster(spark, sf_dir):
         # keeper = argmax over (n_tokens, -doc_id): longest, then smallest id
         best = min(members, key=lambda r: (-r["n_tokens"], r["doc_id"]))
         assert keepers[0]["doc_id"] == best["doc_id"]
+
+
+def test_boilerplate_corpus_side_never_shuffles(spark, sf_dir):
+    """The corpus branch of the strip must reach its broadcast join
+    straight from the scan: every Exchange in the plan belongs to the
+    tiny (host, line)-stats side, and the join is broadcast, not
+    sort-merge (a corpus shuffle here breaks the 100 TB shape)."""
+    from ankiocr_spark.datapipe.curation import q_boilerplate_strip
+
+    df = q_boilerplate_strip(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # the probe side (scan -> project -> broadcast join) carries no
+    # Exchange: walk the plan tree's left spine above the broadcast join
+    left = plan.split("BroadcastExchange")[0]
+    joins = left.split("BroadcastHashJoin")
+    probe_spine = joins[-1]
+    assert "Exchange" not in probe_spine

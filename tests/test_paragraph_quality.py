@@ -149,3 +149,16 @@ def test_bm25_topk_matches_python(spark, sf_dir):
         for r in q_bm25_topk(spark, sf_dir).collect()
     ]
     assert got == expected
+
+
+def test_bm25_plan_is_shuffle_free(spark, sf_dir):
+    """BM25 scoring must stay a pure map-side projection + top-k heap:
+    tf/dl are array ops over one projected token array, the top-k is
+    TakeOrderedAndProject — zero Exchange (the property that makes the
+    scorer free at corpus scale; stats fold in a separate pruned pass)."""
+    from ankiocr_spark.datapipe.textstats import q_bm25_topk
+
+    df = q_bm25_topk(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "TakeOrderedAndProject" in plan
