@@ -74,6 +74,9 @@ _FRONT = [
     "vocab_topn",
     "bm25_topk",
     "hybrid_rrf",
+    "classifier_score",
+    "url_latest",
+    "dsir_weight",
 ]
 
 #: long-stable singletons (multi-round green driver rows), rotated past
@@ -81,6 +84,11 @@ _FRONT = [
 #: last two make the 50-query boundary explicit rather than letting the
 #: module iteration order pick who falls out.
 _TAIL = [
+    # rotated out for the three round-4 additions above (driver-green in
+    # both r2 and r3; still bench-headlined and locally parity-checked)
+    "dedup_exact",
+    "ann_topk_bruteforce",
+    "training_set_select",
     "url_normalize",
     "dedup_simhash",
     "stream_dedup",

@@ -404,13 +404,99 @@ SELECT * FROM survivors UNION ALL SELECT * FROM discovered
 """
 
 
+# ---------------------------------------------------------------------------
+# Latest-snapshot-wins URL dedup — the CDX collapse
+# ---------------------------------------------------------------------------
+
+#: fixed epoch base for the synthesized crawl timestamps (BIGINT seconds —
+#: integers sidestep every cross-engine timestamp/timezone trap).
+_CRAWL_EPOCH = 1_700_000_000
+
+
+def latest_per_url(snapshots: DataFrame) -> DataFrame:
+    """Collapse a multi-snapshot crawl log to one row per url: the most
+    recent fetch wins (Common Crawl's CDX collapse / the read side of
+    `merge_upsert` when ALL history is retained). Input: (url, fetch_ts,
+    digest) with fetch_ts unique per url (real crawlers guarantee this;
+    the fixture constructs it).
+
+    Scale shape: ``max_by`` is an ordinary partial-aggregatable function —
+    map-side combine shrinks each partition to one candidate per url
+    BEFORE the exchange, so the shuffle carries ~|urls| rows, not |fetches|.
+    The window alternative (`row_number() over (partition by url order by
+    fetch_ts desc) = 1`) shuffles EVERY fetch row and then sorts each
+    key group — strictly worse at 10^12 fetch records. Over url-bucketed
+    snapshot tables even the one exchange disappears."""
+    return snapshots.groupBy("url").agg(
+        F.max("fetch_ts").alias("last_ts"),
+        F.max_by("digest", "fetch_ts").alias("latest_digest"),
+        F.count("*").cast("bigint").alias("n_fetches"),
+    )
+
+
+def q_url_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: three synthesized crawl passes over the corpus —
+    pass 0 fetches every page, pass 1 re-fetches the even doc_ids a day
+    later, pass 2 re-fetches every third doc_id two days later with
+    changed content — collapsed to latest-wins. fetch_ts = epoch +
+    doc_id + pass·86400 is unique per url by construction, so the argmax
+    is deterministic in both engines."""
+    from .ops import doc_url, load
+
+    docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+
+    def snap(pass_no: int, pred):
+        body = (
+            F.col("text")
+            if pass_no == 0
+            else F.concat(F.lit(f"v{pass_no} "), F.col("text"))
+        )
+        return docs.where(pred).select(
+            doc_url(F.col("doc_id")).alias("url"),
+            (F.col("doc_id") + _CRAWL_EPOCH + pass_no * 86400)
+            .cast("bigint")
+            .alias("fetch_ts"),
+            F.md5(body).alias("digest"),
+        )
+
+    snapshots = (
+        snap(0, F.lit(True))
+        .unionByName(snap(1, F.col("doc_id") % 2 == 0))
+        .unionByName(snap(2, F.col("doc_id") % 3 == 0))
+    )
+    return latest_per_url(snapshots)
+
+
+def _oracle_url_latest() -> str:
+    from .ops import URL_PREFIX
+
+    return f"""
+WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+snaps AS (
+  SELECT '{URL_PREFIX}' || doc_id AS url,
+         doc_id + {_CRAWL_EPOCH} AS fetch_ts, md5(text) AS digest FROM d
+  UNION ALL
+  SELECT '{URL_PREFIX}' || doc_id, doc_id + {_CRAWL_EPOCH} + 86400,
+         md5('v1 ' || text) FROM d WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT '{URL_PREFIX}' || doc_id, doc_id + {_CRAWL_EPOCH} + 172800,
+         md5('v2 ' || text) FROM d WHERE doc_id % 3 = 0)
+SELECT url, max(fetch_ts)::BIGINT AS last_ts,
+       max_by(digest, fetch_ts) AS latest_digest,
+       count(*)::BIGINT AS n_fetches
+FROM snaps GROUP BY url
+"""
+
+
 QUERIES = {
     "merge_upsert": q_merge_upsert,
     "crawl_delta": q_crawl_delta,
+    "url_latest": q_url_latest,
     "incremental_extract": q_incremental_extract,
 }
 ORACLE_SQL = {
     "merge_upsert": _oracle_merge_upsert(),
     "crawl_delta": _oracle_crawl_delta(),
+    "url_latest": _oracle_url_latest(),
     "incremental_extract": _oracle_incremental_extract(),
 }

@@ -684,6 +684,131 @@ FROM joined
 """
 
 
+# --- DSIR importance weights -------------------------------------------------
+
+#: hashed-bigram feature-space size for the importance model. 4096 buckets
+#: keeps the fitted model a broadcastable dictionary at ANY corpus size —
+#: the whole point of hashed DSIR: model size is O(buckets), not O(vocab).
+DSIR_BUCKETS = 4096
+DSIR_TARGET_LANG = "en"
+#: log-ratios are quantized to integer micro-nats before the per-doc sum:
+#: float sums are partial-agg-order-dependent, integer sums are exact in
+#: both engines (the bm25/classifier float discipline).
+DSIR_SCALE = 1_000_000
+
+
+def q_dsir_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023): score every doc by
+    how much its hashed-bigram distribution looks like a target slice
+    (here: the lang='en' docs) versus the raw corpus —
+    ``Σ_g log(p_target(g) / p_raw(g))`` with add-one smoothing over
+    ``DSIR_BUCKETS`` hashed features. Downstream, sampling ∝ exp(weight)
+    tilts the training mixture toward the target domain without a learned
+    classifier (`classifier_score` is the learned sibling;
+    `domain_mix_sample` consumes weights like these).
+
+    Scale shape: two passes over the bigram stream. Pass 1 (model fit)
+    is a map-side-combined count into 4096 buckets — the exchange carries
+    ≤ 4096·partitions rows regardless of corpus size — and the bucket →
+    log-ratio table broadcasts everywhere. Pass 2 (scoring) is a
+    broadcast hash probe + ONE per-doc integer aggregation: the corpus
+    itself shuffles only (doc_id, lw) pairs, never text. At 10^12 docs
+    the fit output is still 4096 rows — this is why DSIR scales where
+    per-token models do not."""
+    # same tokenize + ≥2-token contract as _tokenized_docs, with lang kept
+    # in the projection (joining it back on would shuffle the corpus)
+    docs = (
+        _docs(spark, sf_dir)
+        .where(F.col("text").isNotNull())
+        .select("doc_id", "lang", F.split("text", " ").alias("toks"))
+        .where(F.size("toks") >= 2)
+    )
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.size("toks") - 2),
+        lambda i: F.concat_ws(" ", F.get("toks", i), F.get("toks", i + 1)),
+    )
+    bucketed = docs.select(
+        "doc_id",
+        (F.col("lang") == DSIR_TARGET_LANG).cast("int").alias("is_tgt"),
+        F.explode(bigrams).alias("g"),
+    ).select(
+        "doc_id",
+        "is_tgt",
+        (
+            F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("bigint")
+            % DSIR_BUCKETS
+        ).alias("bucket"),
+    )
+    counts = bucketed.groupBy("bucket").agg(
+        F.count("*").alias("raw_n"), F.sum("is_tgt").alias("tgt_n")
+    )
+    # totals ride the counts table as an unpartitioned window (≤ 4096 rows
+    # on one partition — trivial) instead of a separate agg branch: Catalyst
+    # has no cross-branch CSE, so `counts.agg(...)` + crossJoin would
+    # re-scan the corpus and rebuild the bigram stream a third time.
+    wtot = Window.partitionBy()
+    raw_total = F.sum("raw_n").over(wtot)
+    tgt_total = F.sum("tgt_n").over(wtot)
+    lw = F.round(
+        (
+            F.log((F.col("tgt_n") + 1) / (tgt_total + F.lit(DSIR_BUCKETS)))
+            - F.log((F.col("raw_n") + 1) / (raw_total + F.lit(DSIR_BUCKETS)))
+        )
+        * F.lit(float(DSIR_SCALE))
+    ).cast("bigint")
+    weights = counts.select("bucket", lw.alias("lw_micro"))
+    scored = (
+        bucketed.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("lw_micro").alias("_sum_micro"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        F.round(F.col("_sum_micro") / F.lit(float(DSIR_SCALE)), 6).alias(
+            "dsir_logw"
+        ),
+    )
+
+
+ORACLE_DSIR = f"""
+WITH toks AS (
+  SELECT doc_id, lang, str_split(text, ' ') AS t
+  FROM documents WHERE text IS NOT NULL),
+big AS (
+  SELECT doc_id, (lang = '{DSIR_TARGET_LANG}')::INT AS is_tgt,
+         unnest(list_transform(generate_series(1, len(t) - 1),
+                i -> array_to_string(list_slice(t, i, i + 1), ' '))) AS g
+  FROM toks WHERE len(t) >= 2),
+bucketed AS (
+  SELECT doc_id, is_tgt,
+         ('0x' || substr(md5(g), 1, 15))::BIGINT % {DSIR_BUCKETS} AS bucket
+  FROM big),
+counts AS (
+  SELECT bucket, count(*)::BIGINT AS raw_n, sum(is_tgt)::BIGINT AS tgt_n
+  FROM bucketed GROUP BY bucket),
+totals AS (
+  SELECT sum(raw_n)::BIGINT AS raw_total, sum(tgt_n)::BIGINT AS tgt_total
+  FROM counts),
+weights AS (
+  SELECT bucket,
+         round((ln((tgt_n + 1) / (tgt_total + {DSIR_BUCKETS}))
+              - ln((raw_n + 1) / (raw_total + {DSIR_BUCKETS})))
+               * {DSIR_SCALE}.0::DOUBLE)::BIGINT AS lw_micro
+  FROM counts CROSS JOIN totals),
+scored AS (
+  SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+         sum(lw_micro)::BIGINT AS sum_micro
+  FROM bucketed JOIN weights USING (bucket) GROUP BY doc_id)
+SELECT doc_id, n_bigrams,
+       round(sum_micro / {DSIR_SCALE}.0::DOUBLE, 6) AS dsir_logw
+FROM scored
+"""
+
+
 QUERIES = {
     "pii_redact": q_pii_redact,
     "robots_policy": q_robots_policy,
@@ -693,6 +818,7 @@ QUERIES = {
     "blocklist_filter": q_blocklist_filter,
     "domain_mix_sample": q_domain_mix_sample,
     "lm_perplexity": q_lm_perplexity,
+    "dsir_weight": q_dsir_weight,
 }
 
 ORACLE_SQL = {
@@ -704,4 +830,5 @@ ORACLE_SQL = {
     "blocklist_filter": ORACLE_BLOCKLIST,
     "domain_mix_sample": ORACLE_MIX,
     "lm_perplexity": ORACLE_LM,
+    "dsir_weight": ORACLE_DSIR,
 }

@@ -296,6 +296,81 @@ FROM documents
 """
 
 
+# --- hashed linear classifier gate -------------------------------------------
+
+#: weight-table size for the hashed linear classifier: token → bucket in
+#: [-CLF_HALF, +CLF_HALF] milli-units. 2·1000+1 buckets keeps every weight
+#: an exact small integer, so per-doc weight sums are integer-exact across
+#: engines (float weight sums are partial-agg-order-dependent — the same
+#: discipline as bm25_topk's fixed-order term sum).
+CLF_HALF = 1000
+CLF_MOD = 2 * CLF_HALF + 1
+
+
+def q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style linear quality classifier: each token hashes into a
+    weight table and the document score is the mean token weight — the
+    shape of every learned bag-of-words gate (fastText, DSIR's logistic
+    head, FineWeb-Edu's regressor distilled to linear). Weights here are
+    hash-derived stand-ins (md5 → [-1, 1] milli-units) because no trained
+    model ships in this sandbox; swapping in real weights changes ONE
+    broadcast map lookup, not the plan.
+
+    Cross-engine float discipline: weights are exact INTEGERS summed with
+    a HOF fold inside the row (integer math is associative, so the sum is
+    engine-independent), and the single float division happens once per
+    row at the end. The keep gate compares the integer sum, not the
+    rounded double, so the boundary cannot ulp-flake.
+
+    Scale shape: a pure per-row projection — zero shuffle, zero joins;
+    the classifier fuses into whatever scan feeds it (here: one pruned
+    parquet scan → one codegen stage). This is why linear gates are the
+    first filter in every 100-TB curation stack: they cost one pass."""
+    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    toks = docs.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda x: x != "").alias("_toks"),
+    ).where(F.size("_toks") > 0)
+
+    def w(t):
+        h = F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint")
+        return h % CLF_MOD - F.lit(CLF_HALF)
+
+    summed = toks.select(
+        "doc_id",
+        F.size("_toks").cast("bigint").alias("n_tokens"),
+        F.aggregate(
+            "_toks", F.lit(0).cast("bigint"), lambda acc, t: acc + w(t)
+        ).alias("_wsum"),
+    )
+    return summed.select(
+        "doc_id",
+        "n_tokens",
+        F.round(
+            F.col("_wsum") / (F.lit(float(CLF_HALF)) * F.col("n_tokens")), 6
+        ).alias("clf_score"),
+        (F.col("_wsum") >= 0).alias("keep"),
+    )
+
+
+ORACLE_CLASSIFIER = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS toks
+  FROM documents WHERE text IS NOT NULL),
+summed AS (
+  SELECT doc_id,
+         len(toks)::BIGINT AS n_tokens,
+         list_sum(list_transform(toks,
+           t -> (('0x' || substr(md5(t), 1, 15))::BIGINT % {CLF_MOD})
+                - {CLF_HALF}))::BIGINT AS wsum
+  FROM toks WHERE len(toks) > 0)
+SELECT doc_id, n_tokens,
+       round(wsum / ({CLF_HALF}.0::DOUBLE * n_tokens), 6) AS clf_score,
+       wsum >= 0 AS keep
+FROM summed
+"""
+
+
 QUALITY_FLOOR = 0.5
 
 
@@ -386,6 +461,7 @@ QUERIES = {
     "token_count": q_token_count,
     "vocab_topn": q_vocab_topn,
     "bm25_topk": q_bm25_topk,
+    "classifier_score": q_classifier_score,
     "doc_fingerprint": q_fingerprint,
     "training_set_select": q_training_set_select,
 }
@@ -397,6 +473,7 @@ ORACLE_SQL = {
     "token_count": ORACLE_TOKEN_COUNT,
     "vocab_topn": ORACLE_VOCAB,
     "bm25_topk": ORACLE_BM25,
+    "classifier_score": ORACLE_CLASSIFIER,
     "doc_fingerprint": ORACLE_FINGERPRINT,
     "training_set_select": ORACLE_TRAINING_SET,
 }

@@ -82,6 +82,9 @@ AUDIT = [
     "vocab_topn",
     "bm25_topk",
     "hybrid_rrf",
+    "classifier_score",
+    "url_latest",
+    "dsir_weight",
 ]
 
 #: caveats rendered under the flags line — mostly for iterative queries,

@@ -209,3 +209,50 @@ def test_incremental_extract_kernel_sees_only_the_delta(spark, sf_dir):
     )
     assert to_extract.count() == n_changed + n_added
     assert reuse.count() == n_unchanged
+
+
+def test_url_latest_picks_max_ts(spark, sf_dir):
+    """Latest-wins against an independent recomputation: each url's
+    winning digest must be the md5 of the HIGHEST-pass body that url
+    received, and n_fetches must count its passes exactly."""
+    import hashlib
+
+    import duckdb
+
+    from ankiocr_spark.bucketing import q_url_latest
+    from ankiocr_spark.ops import URL_PREFIX
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet') "
+        "WHERE text IS NOT NULL"
+    ).fetchall()
+    expected = {}
+    for doc_id, text in rows:
+        passes = [(0, text)]
+        if doc_id % 2 == 0:
+            passes.append((1, "v1 " + text))
+        if doc_id % 3 == 0:
+            passes.append((2, "v2 " + text))
+        last = max(passes)[1]
+        expected[URL_PREFIX + str(doc_id)] = (
+            hashlib.md5(last.encode()).hexdigest(),
+            len(passes),
+        )
+    got = {
+        r["url"]: (r["latest_digest"], r["n_fetches"])
+        for r in q_url_latest(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_url_latest_plan_partial_aggregates(spark, sf_dir):
+    """The collapse must be ONE exchange with map-side partial max_by —
+    never a Window sort over every fetch row (the shape that dies at
+    10^12 fetch records)."""
+    from ankiocr_spark.bucketing import q_url_latest
+
+    plan = (
+        q_url_latest(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan
+    assert plan.count("Exchange") == 1

@@ -332,3 +332,47 @@ def test_boilerplate_corpus_side_never_shuffles(spark, sf_dir):
     joins = left.split("BroadcastHashJoin")
     probe_spine = joins[-1]
     assert "Exchange" not in probe_spine
+
+
+def test_dsir_weight_separates_target_language(spark, sf_dir):
+    """The importance model must rank the target slice above the rest on
+    average — the defining property of DSIR weights, invisible to the
+    oracle sweep (which replicates the same bucket math)."""
+    from ankiocr_spark.datapipe.curation import DSIR_TARGET_LANG, q_dsir_weight
+
+    out = {
+        r["doc_id"]: (r["n_bigrams"], r["dsir_logw"])
+        for r in q_dsir_weight(spark, sf_dir).collect()
+    }
+    meta = dict(
+        duckdb.sql(
+            f"SELECT doc_id, lang FROM read_parquet('{sf_dir}/documents.parquet') "
+            "WHERE text IS NOT NULL AND len(str_split(text, ' ')) >= 2"
+        ).fetchall()
+    )
+    assert set(out) == set(meta)
+    tgt = [w for d, (_, w) in out.items() if meta[d] == DSIR_TARGET_LANG]
+    rest = [w for d, (_, w) in out.items() if meta[d] != DSIR_TARGET_LANG]
+    assert sum(tgt) / len(tgt) > sum(rest) / len(rest)
+    # n_bigrams rides the scoring aggregation: must equal n_tokens - 1
+    n_toks = dict(
+        duckdb.sql(
+            f"SELECT doc_id, len(str_split(text, ' ')) FROM "
+            f"read_parquet('{sf_dir}/documents.parquet') "
+            "WHERE text IS NOT NULL AND len(str_split(text, ' ')) >= 2"
+        ).fetchall()
+    )
+    for d, (nb, _) in out.items():
+        assert nb == n_toks[d] - 1
+
+
+def test_dsir_plan_scans_corpus_exactly_twice(spark, sf_dir):
+    """Fit pass + score pass — never a third scan for the totals (the
+    no-cross-branch-CSE trap: totals must ride the counts table as a
+    window, not a separate agg branch that rebuilds the bigram stream)."""
+    from ankiocr_spark.datapipe.curation import q_dsir_weight
+
+    plan = (
+        q_dsir_weight(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Scan parquet") == 2

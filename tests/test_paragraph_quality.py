@@ -162,3 +162,52 @@ def test_bm25_plan_is_shuffle_free(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_classifier_score_matches_python(spark, sf_dir):
+    """Independent md5-weight reimplementation + the keep ⇔ Σw ≥ 0
+    contract (the gate compares the INTEGER sum, so the boundary is
+    exact, never an ulp of the rounded double)."""
+    import hashlib as _hl
+
+    from ankiocr_spark.datapipe.textstats import (
+        CLF_HALF,
+        CLF_MOD,
+        q_classifier_score,
+    )
+
+    def w(tok: str) -> int:
+        h = int(_hl.md5(tok.encode()).hexdigest()[:15], 16)
+        return h % CLF_MOD - CLF_HALF
+
+    docs = {
+        doc_id: [t for t in text.split(" ") if t]
+        for doc_id, text in duckdb.sql(
+            f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet') "
+            "WHERE text IS NOT NULL"
+        ).fetchall()
+        if [t for t in text.split(" ") if t]
+    }
+    got = {r["doc_id"]: r for r in q_classifier_score(spark, sf_dir).collect()}
+    assert set(got) == set(docs)
+    for doc_id, toks in docs.items():
+        wsum = sum(w(t) for t in toks)
+        r = got[doc_id]
+        assert r["n_tokens"] == len(toks)
+        assert r["keep"] == (wsum >= 0)
+        assert abs(r["clf_score"] - wsum / (CLF_HALF * len(toks))) < 1e-6
+        assert -1.0 <= r["clf_score"] <= 1.0
+
+
+def test_classifier_plan_is_shuffle_free(spark, sf_dir):
+    """The linear gate must fuse into the scan: zero Exchange — the
+    property that makes it the free first filter at corpus scale."""
+    from ankiocr_spark.datapipe.textstats import q_classifier_score
+
+    plan = (
+        q_classifier_score(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
