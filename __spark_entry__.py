@@ -77,6 +77,8 @@ _FRONT = [
     "classifier_score",
     "url_latest",
     "dsir_weight",
+    "c4_filter",
+    "badwords_filter",
 ]
 
 #: long-stable singletons (multi-round green driver rows), rotated past
@@ -84,11 +86,13 @@ _FRONT = [
 #: last two make the 50-query boundary explicit rather than letting the
 #: module iteration order pick who falls out.
 _TAIL = [
-    # rotated out for the three round-4 additions above (driver-green in
-    # both r2 and r3; still bench-headlined and locally parity-checked)
+    # rotated out for the round-4 additions above (each driver-green in
+    # both r2 and r3; still bench-timed and locally parity-checked)
     "dedup_exact",
     "ann_topk_bruteforce",
     "training_set_select",
+    "pagerank",
+    "stream_extract",
     "url_normalize",
     "dedup_simhash",
     "stream_dedup",

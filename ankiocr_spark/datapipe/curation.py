@@ -809,6 +809,146 @@ FROM scored
 """
 
 
+# --- C4 line/document rules --------------------------------------------------
+
+#: minimum words for a line to survive C4's line rule
+C4_MIN_LINE_WORDS = 5
+#: terminal punctuation accepted by the end-of-line rule
+C4_TERMINALS = (".", "!", "?")
+#: deterministic injected structure (the fixture corpus is one line per
+#: doc, so — like pii_redact's contact lines — the rules get a slice to
+#: bite): every doc gains a short CTA line (always dropped: < 5 words),
+#: every 4th doc a javascript notice (dropped by the content rule), and
+#: every 2nd doc gets terminal punctuation on its body (the others lose
+#: the body to the punctuation rule).
+C4_JS_MOD = 4
+C4_PUNCT_MOD = 2
+_C4_CTA = "click here now"
+_C4_JS_LINE = "javascript is required to view this site please enable it today"
+
+
+def q_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cleanup (Raffel et al. 2020): keep only lines that end in
+    terminal punctuation, have ≥ 5 words, and don't mention javascript;
+    then gate the document on having any surviving content and on the
+    doc-level lorem-ipsum / curly-brace rules. This is the exact rule set
+    the original C4 build applied to Common Crawl text, and the stage
+    that runs right after boilerplate stripping in a webtext pipeline.
+
+    Scale shape: a pure per-row projection — line construction, the rule
+    lambda, and the doc gates all fuse into the scan (zero shuffle, zero
+    joins; plan-asserted). Every rule is integer/string-exact, so there
+    is no float discipline to manage."""
+    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    body = F.when(
+        F.col("doc_id") % C4_PUNCT_MOD == 0, F.concat(F.col("text"), F.lit("."))
+    ).otherwise(F.col("text"))
+    lines = F.filter(
+        F.array(
+            body,
+            F.lit(_C4_CTA),
+            F.when(F.col("doc_id") % C4_JS_MOD == 0, F.lit(_C4_JS_LINE)),
+        ),
+        lambda x: x.isNotNull(),
+    )
+
+    def line_ok(line):
+        return (
+            F.substring(line, -1, 1).isin(*C4_TERMINALS)
+            & (F.size(F.split(line, " ")) >= C4_MIN_LINE_WORDS)
+            & ~line.contains("javascript")
+        )
+
+    paged = docs.select("doc_id", "text", lines.alias("_lines")).select(
+        "doc_id",
+        "text",
+        F.size("_lines").cast("bigint").alias("n_lines"),
+        F.filter("_lines", line_ok).alias("_kept"),
+    )
+    return paged.select(
+        "doc_id",
+        "n_lines",
+        F.size("_kept").cast("bigint").alias("n_kept"),
+        F.array_join("_kept", "\n").alias("clean_text"),
+        (
+            (F.size("_kept") > 0)
+            & ~F.col("text").contains("lorem ipsum")
+            & ~F.col("text").contains("{")
+        ).alias("doc_keep"),
+    )
+
+
+ORACLE_C4 = f"""
+WITH pages AS (
+  SELECT doc_id, text,
+         list_filter([
+           CASE WHEN doc_id % {C4_PUNCT_MOD} = 0 THEN text || '.' ELSE text END,
+           '{_C4_CTA}',
+           CASE WHEN doc_id % {C4_JS_MOD} = 0 THEN '{_C4_JS_LINE}' END
+         ], x -> x IS NOT NULL) AS ls
+  FROM documents WHERE text IS NOT NULL),
+kept AS (
+  SELECT doc_id, text, len(ls)::BIGINT AS n_lines,
+         list_filter(ls, x ->
+           list_contains(['.', '!', '?'], substr(x, length(x), 1))
+           AND len(str_split(x, ' ')) >= {C4_MIN_LINE_WORDS}
+           AND NOT contains(x, 'javascript')) AS ks
+  FROM pages)
+SELECT doc_id, n_lines, len(ks)::BIGINT AS n_kept,
+       -- array_to_string([]) is NULL in DuckDB but '' in Spark's array_join
+       coalesce(array_to_string(ks, chr(10)), '') AS clean_text,
+       (len(ks) > 0 AND NOT contains(text, 'lorem ipsum')
+        AND NOT contains(text, '{{')) AS doc_keep
+FROM kept
+"""
+
+
+# --- bad-words dictionary gate -----------------------------------------------
+
+#: placeholder dictionary standing in for an audited term pack (C4 used
+#: the LDNOOBW word list); terms are drawn from the fixture vocabulary so
+#: the gate has a real slice to bite. Swapping in the real list changes
+#: this tuple only — at 10^5 dictionary terms the isin literal becomes a
+#: broadcast semi-join on the exploded token stream, same verdict column.
+BAD_WORDS = ("slow", "legacy")
+
+
+def q_badwords_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary content gate (C4's bad-words rule): count occurrences
+    of dictionary terms per document and drop any document containing
+    one. Complements `blocklist_filter` (host-level policy) with
+    content-level policy — both run before extraction-adjacent stages so
+    gated docs never cost kernel time.
+
+    Scale shape: pure per-row projection (token filter against a literal
+    set), fused into the scan — zero shuffle, plan-asserted."""
+    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    toks = docs.select(
+        "doc_id", F.filter(F.split("text", " "), lambda x: x != "").alias("_toks")
+    )
+    n_bad = F.size(F.filter("_toks", lambda x: x.isin(*BAD_WORDS)))
+    return toks.select(
+        "doc_id",
+        F.size("_toks").cast("bigint").alias("n_tokens"),
+        n_bad.cast("bigint").alias("n_bad"),
+        (n_bad == 0).alias("keep"),
+    )
+
+
+_BAD_LIST = "[" + ", ".join(f"'{w}'" for w in BAD_WORDS) + "]"
+
+ORACLE_BADWORDS = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS toks
+  FROM documents WHERE text IS NOT NULL)
+SELECT doc_id,
+       len(toks)::BIGINT AS n_tokens,
+       len(list_filter(toks, x -> list_contains({_BAD_LIST}, x)))::BIGINT AS n_bad,
+       len(list_filter(toks, x -> list_contains({_BAD_LIST}, x))) = 0 AS keep
+FROM toks
+"""
+
+
 QUERIES = {
     "pii_redact": q_pii_redact,
     "robots_policy": q_robots_policy,
@@ -819,6 +959,8 @@ QUERIES = {
     "domain_mix_sample": q_domain_mix_sample,
     "lm_perplexity": q_lm_perplexity,
     "dsir_weight": q_dsir_weight,
+    "c4_filter": q_c4_filter,
+    "badwords_filter": q_badwords_filter,
 }
 
 ORACLE_SQL = {
@@ -831,4 +973,6 @@ ORACLE_SQL = {
     "domain_mix_sample": ORACLE_MIX,
     "lm_perplexity": ORACLE_LM,
     "dsir_weight": ORACLE_DSIR,
+    "c4_filter": ORACLE_C4,
+    "badwords_filter": ORACLE_BADWORDS,
 }

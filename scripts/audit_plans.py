@@ -85,6 +85,8 @@ AUDIT = [
     "classifier_score",
     "url_latest",
     "dsir_weight",
+    "c4_filter",
+    "badwords_filter",
 ]
 
 #: caveats rendered under the flags line — mostly for iterative queries,

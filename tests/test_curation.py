@@ -376,3 +376,68 @@ def test_dsir_plan_scans_corpus_exactly_twice(spark, sf_dir):
         q_dsir_weight(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Scan parquet") == 2
+
+
+def test_c4_filter_rules_match_python(spark, sf_dir):
+    """Independent reimplementation of the C4 line + doc rules over the
+    same injected structure."""
+    from ankiocr_spark.datapipe.curation import (
+        _C4_CTA,
+        _C4_JS_LINE,
+        C4_JS_MOD,
+        C4_MIN_LINE_WORDS,
+        C4_PUNCT_MOD,
+        C4_TERMINALS,
+        q_c4_filter,
+    )
+
+    got = {
+        r["doc_id"]: (r["n_lines"], r["n_kept"], r["clean_text"], r["doc_keep"])
+        for r in q_c4_filter(spark, sf_dir).collect()
+    }
+    for doc_id, text in duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet') "
+        "WHERE text IS NOT NULL"
+    ).fetchall():
+        lines = [text + "." if doc_id % C4_PUNCT_MOD == 0 else text, _C4_CTA]
+        if doc_id % C4_JS_MOD == 0:
+            lines.append(_C4_JS_LINE)
+        kept = [
+            l
+            for l in lines
+            if l[-1:] in C4_TERMINALS
+            and len(l.split(" ")) >= C4_MIN_LINE_WORDS
+            and "javascript" not in l
+        ]
+        keep = bool(kept) and "lorem ipsum" not in text and "{" not in text
+        assert got[doc_id] == (len(lines), len(kept), "\n".join(kept), keep)
+
+
+def test_c4_and_badwords_plans_are_shuffle_free(spark, sf_dir):
+    """Both gates must fuse into the scan — zero Exchange — so they cost
+    one pass at corpus scale."""
+    from ankiocr_spark.datapipe.curation import q_badwords_filter, q_c4_filter
+
+    for q in (q_c4_filter, q_badwords_filter):
+        plan = q(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, q.__name__
+
+
+def test_badwords_counts_match_python(spark, sf_dir):
+    from ankiocr_spark.datapipe.curation import BAD_WORDS, q_badwords_filter
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_bad"], r["keep"])
+        for r in q_badwords_filter(spark, sf_dir).collect()
+    }
+    hits = 0
+    for doc_id, text in duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet') "
+        "WHERE text IS NOT NULL"
+    ).fetchall():
+        toks = [t for t in text.split(" ") if t]
+        n_bad = sum(1 for t in toks if t in BAD_WORDS)
+        hits += n_bad > 0
+        assert got[doc_id] == (len(toks), n_bad, n_bad == 0)
+    # the gate must actually bite on the fixture corpus
+    assert 0 < hits < len(got)
