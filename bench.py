@@ -60,6 +60,11 @@ SECONDARY = [
     "vocab_topn",
     "bm25_topk",
     "hybrid_rrf",
+    "classifier_score",
+    "url_latest",
+    "dsir_weight",
+    "c4_filter",
+    "badwords_filter",
 ]
 
 
