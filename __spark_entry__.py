@@ -79,6 +79,7 @@ _FRONT = [
     "dsir_weight",
     "c4_filter",
     "badwords_filter",
+    "token_entropy",
 ]
 
 #: long-stable singletons (multi-round green driver rows), rotated past
@@ -93,6 +94,7 @@ _TAIL = [
     "training_set_select",
     "pagerank",
     "stream_extract",
+    "stream_window_stats",
     "url_normalize",
     "dedup_simhash",
     "stream_dedup",

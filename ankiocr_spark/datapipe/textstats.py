@@ -296,6 +296,84 @@ FROM documents
 """
 
 
+# --- token-entropy gibberish gate --------------------------------------------
+
+#: micro-nat quantization for the Σ c·ln(c) accumulator — per-token terms
+#: become exact integers before any aggregate, so the per-doc sum is
+#: engine- and partial-agg-order-independent (the dsir/classifier float
+#: discipline applied to an information-theoretic measure).
+ENTROPY_SCALE = 1_000_000
+#: keep docs with unigram entropy ≥ this (fixture distribution: min 1.64,
+#: p10 2.65, median 3.09 — the gate bites the repetitive ~8% tail). The
+#: compare uses the ROUNDED entropy, which is bit-identical across engines
+#: because the accumulator is integer-exact and the final float expression
+#: is evaluated once in the same operation order.
+ENTROPY_MIN = 2.5
+
+
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram token entropy per document — the information-theoretic
+    gibberish/repetition gate (Gopher and RefinedWeb both gate on
+    distributional measures of this family): H = ln(n) − (Σ c·ln c)/n
+    over the doc's token counts. Low entropy = a few tokens dominate
+    (keyword stuffing, boilerplate loops); complements
+    `repetition_filter` (top-bigram share) with a whole-distribution
+    measure.
+
+    Scale shape: the same two-exchange shape as repetition_filter — one
+    hash exchange on (doc_id, token) with map-side partial counts, then
+    a per-doc fold on doc_id whose partials collapse map-side. Nothing
+    quadratic: a doc costs its tokens. The per-term c·ln(c) quantizes to
+    micro-nat INTEGERS before summing, so the accumulation is exact."""
+    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias(
+            "token"
+        ),
+    )
+    cnt = toks.groupBy("doc_id", "token").agg(F.count("*").alias("c"))
+    agg = cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.sum(
+            F.round(F.col("c") * F.log("c") * F.lit(float(ENTROPY_SCALE))).cast(
+                "bigint"
+            )
+        ).alias("_s"),
+    )
+    ent = F.round(
+        F.log("n_tokens")
+        - F.col("_s") / F.lit(float(ENTROPY_SCALE)) / F.col("n_tokens"),
+        6,
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        ent.alias("token_entropy"),
+        (ent >= ENTROPY_MIN).alias("keep"),
+    )
+
+
+ORACLE_ENTROPY = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(str_split(text, ' '), x -> x <> '')) AS token
+  FROM documents WHERE text IS NOT NULL),
+cnt AS (
+  SELECT doc_id, token, count(*)::BIGINT AS c FROM toks GROUP BY doc_id, token),
+agg AS (
+  SELECT doc_id, sum(c)::BIGINT AS n_tokens,
+         sum(round(c * ln(c) * {ENTROPY_SCALE}.0::DOUBLE)::BIGINT)::BIGINT AS s
+  FROM cnt GROUP BY doc_id)
+SELECT doc_id, n_tokens,
+       round(ln(n_tokens) - s / {ENTROPY_SCALE}.0::DOUBLE / n_tokens, 6)
+         AS token_entropy,
+       round(ln(n_tokens) - s / {ENTROPY_SCALE}.0::DOUBLE / n_tokens, 6)
+         >= {ENTROPY_MIN} AS keep
+FROM agg
+"""
+
+
 # --- hashed linear classifier gate -------------------------------------------
 
 #: weight-table size for the hashed linear classifier: token → bucket in
@@ -462,6 +540,7 @@ QUERIES = {
     "vocab_topn": q_vocab_topn,
     "bm25_topk": q_bm25_topk,
     "classifier_score": q_classifier_score,
+    "token_entropy": q_token_entropy,
     "doc_fingerprint": q_fingerprint,
     "training_set_select": q_training_set_select,
 }
@@ -474,6 +553,7 @@ ORACLE_SQL = {
     "vocab_topn": ORACLE_VOCAB,
     "bm25_topk": ORACLE_BM25,
     "classifier_score": ORACLE_CLASSIFIER,
+    "token_entropy": ORACLE_ENTROPY,
     "doc_fingerprint": ORACLE_FINGERPRINT,
     "training_set_select": ORACLE_TRAINING_SET,
 }

@@ -65,6 +65,7 @@ SECONDARY = [
     "dsir_weight",
     "c4_filter",
     "badwords_filter",
+    "token_entropy",
 ]
 
 

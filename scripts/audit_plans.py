@@ -87,6 +87,7 @@ AUDIT = [
     "dsir_weight",
     "c4_filter",
     "badwords_filter",
+    "token_entropy",
 ]
 
 #: caveats rendered under the flags line — mostly for iterative queries,

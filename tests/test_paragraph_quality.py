@@ -211,3 +211,40 @@ def test_classifier_plan_is_shuffle_free(spark, sf_dir):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_token_entropy_matches_python(spark, sf_dir):
+    """Independent entropy computation + the gate-bites check (the gate
+    must drop a real slice of the fixture, and keep must agree with the
+    rounded value)."""
+    import math
+    from collections import Counter
+
+    from ankiocr_spark.datapipe.textstats import (
+        ENTROPY_MIN,
+        ENTROPY_SCALE,
+        q_token_entropy,
+    )
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["token_entropy"], r["keep"])
+        for r in q_token_entropy(spark, sf_dir).collect()
+    }
+    dropped = 0
+    for doc_id, text in duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet') "
+        "WHERE text IS NOT NULL"
+    ).fetchall():
+        toks = [t for t in text.split(" ") if t]
+        if not toks:
+            continue
+        n = len(toks)
+        s = sum(
+            round(c * math.log(c) * ENTROPY_SCALE)
+            for c in Counter(toks).values()
+        )
+        ent = round(math.log(n) - s / ENTROPY_SCALE / n, 6)
+        keep = ent >= ENTROPY_MIN
+        dropped += not keep
+        assert got[doc_id] == (n, ent, keep), doc_id
+    assert 0 < dropped < len(got)
