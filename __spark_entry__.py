@@ -80,6 +80,7 @@ _FRONT = [
     "c4_filter",
     "badwords_filter",
     "token_entropy",
+    "signal_correlation",
 ]
 
 #: long-stable singletons (multi-round green driver rows), rotated past
@@ -95,6 +96,7 @@ _TAIL = [
     "pagerank",
     "stream_extract",
     "stream_window_stats",
+    "dedup_minhash_lsh",
     "url_normalize",
     "dedup_simhash",
     "stream_dedup",

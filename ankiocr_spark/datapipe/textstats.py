@@ -374,6 +374,119 @@ FROM agg
 """
 
 
+# --- gate-calibration correlation report -------------------------------------
+
+
+def q_signal_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation between two per-doc quality signals (the
+    composite heuristic `quality_col` and the unigram token entropy) —
+    the calibration report a curation owner runs before wiring a new
+    gate into the pipeline: do the signals agree, and is the new one
+    adding information? One row out: corpus size + r.
+
+    Exactness at scale: both signals quantize to micro-unit INTEGERS per
+    doc, and all five moments (Σx, Σy, Σx², Σy², Σxy) accumulate as
+    ``decimal(38,0)`` (Spark) / HUGEINT (DuckDB) — exact at 10^12 docs
+    where bigint moments would overflow (Σx² ≤ ~2·10^13 per doc × 10^12
+    docs ≈ 10^25). The single float expression runs ONCE on the one-row
+    moment relation, in the same operation order in both engines, so r
+    is bit-identical. This is the general recipe for any corpus-level
+    statistic here: exact integer/decimal moments, float only at the end.
+
+    Scale shape: entropy's two partial-agg exchanges + one doc_id join of
+    two per-doc signal relations + a moment fold that collapses map-side
+    to one row per partition. Nothing quadratic, nothing driver-side."""
+    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    tokens = F.split("text", " ")
+    x_side = docs.select(
+        "doc_id",
+        F.round(quality_col(tokens) * F.lit(1e6)).cast("bigint").alias("x"),
+    )
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.filter(tokens, lambda t: t != "")).alias("token"),
+    )
+    cnt = toks.groupBy("doc_id", "token").agg(F.count("*").alias("c"))
+    ent_agg = cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n"),
+        F.sum(
+            F.round(F.col("c") * F.log("c") * F.lit(float(ENTROPY_SCALE))).cast(
+                "bigint"
+            )
+        ).alias("_s"),
+    )
+    y_side = ent_agg.select(
+        "doc_id",
+        F.round(
+            F.round(
+                F.log("n")
+                - F.col("_s") / F.lit(float(ENTROPY_SCALE)) / F.col("n"),
+                6,
+            )
+            * F.lit(1e6)
+        )
+        .cast("bigint")
+        .alias("y"),
+    )
+    j = x_side.join(y_side, "doc_id")
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    m = j.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(dec(F.col("x"))).alias("sx"),
+        F.sum(dec(F.col("y"))).alias("sy"),
+        F.sum(dec(F.col("x") * F.col("x"))).alias("sxx"),
+        F.sum(dec(F.col("y") * F.col("y"))).alias("syy"),
+        F.sum(dec(F.col("x") * F.col("y"))).alias("sxy"),
+    )
+    n = F.col("n_docs").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    r = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return m.select("n_docs", F.round(r, 6).alias("pearson_r"))
+
+
+ORACLE_SIGNAL_CORR = f"""
+WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+x_side AS (
+  SELECT doc_id,
+         round(round(0.4 * least(1.0, len(str_split(text, ' ')) / 100.0)
+             + 0.6 * (len(list_distinct(str_split(text, ' ')))
+                      / len(str_split(text, ' '))), 6)
+               * 1000000.0::DOUBLE)::BIGINT AS x
+  FROM d),
+toks AS (
+  SELECT doc_id,
+         unnest(list_filter(str_split(text, ' '), t -> t <> '')) AS token
+  FROM d),
+cnt AS (
+  SELECT doc_id, token, count(*)::BIGINT AS c FROM toks GROUP BY doc_id, token),
+ent AS (
+  SELECT doc_id, sum(c)::BIGINT AS n,
+         sum(round(c * ln(c) * {ENTROPY_SCALE}.0::DOUBLE)::BIGINT)::BIGINT AS s
+  FROM cnt GROUP BY doc_id),
+y_side AS (
+  SELECT doc_id,
+         round(round(ln(n) - s / {ENTROPY_SCALE}.0::DOUBLE / n, 6)
+               * 1000000.0::DOUBLE)::BIGINT AS y
+  FROM ent),
+m AS (
+  SELECT count(*)::BIGINT AS n_docs,
+         sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
+         sum((x * x)::HUGEINT) AS sxx, sum((y * y)::HUGEINT) AS syy,
+         sum((x * y)::HUGEINT) AS sxy
+  FROM x_side JOIN y_side USING (doc_id))
+SELECT n_docs,
+       round((n_docs::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+           / (sqrt(n_docs::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+            * sqrt(n_docs::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)),
+         6) AS pearson_r
+FROM m
+"""
+
+
 # --- hashed linear classifier gate -------------------------------------------
 
 #: weight-table size for the hashed linear classifier: token → bucket in
@@ -541,6 +654,7 @@ QUERIES = {
     "bm25_topk": q_bm25_topk,
     "classifier_score": q_classifier_score,
     "token_entropy": q_token_entropy,
+    "signal_correlation": q_signal_correlation,
     "doc_fingerprint": q_fingerprint,
     "training_set_select": q_training_set_select,
 }
@@ -554,6 +668,7 @@ ORACLE_SQL = {
     "bm25_topk": ORACLE_BM25,
     "classifier_score": ORACLE_CLASSIFIER,
     "token_entropy": ORACLE_ENTROPY,
+    "signal_correlation": ORACLE_SIGNAL_CORR,
     "doc_fingerprint": ORACLE_FINGERPRINT,
     "training_set_select": ORACLE_TRAINING_SET,
 }

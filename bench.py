@@ -66,6 +66,7 @@ SECONDARY = [
     "c4_filter",
     "badwords_filter",
     "token_entropy",
+    "signal_correlation",
 ]
 
 

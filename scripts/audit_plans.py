@@ -88,6 +88,7 @@ AUDIT = [
     "c4_filter",
     "badwords_filter",
     "token_entropy",
+    "signal_correlation",
 ]
 
 #: caveats rendered under the flags line — mostly for iterative queries,

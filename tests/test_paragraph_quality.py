@@ -248,3 +248,44 @@ def test_token_entropy_matches_python(spark, sf_dir):
         dropped += not keep
         assert got[doc_id] == (n, ent, keep), doc_id
     assert 0 < dropped < len(got)
+
+
+def test_signal_correlation_matches_numpy(spark, sf_dir):
+    """Independent Pearson via numpy over independently recomputed
+    micro-quantized signals; also sanity: entropy and the
+    diversity-weighted quality score must correlate POSITIVELY."""
+    import math
+    from collections import Counter
+
+    from ankiocr_spark.datapipe.textstats import (
+        ENTROPY_SCALE,
+        q_signal_correlation,
+    )
+
+    xs, ys = [], []
+    for _doc_id, text in duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet') "
+        "WHERE text IS NOT NULL"
+    ).fetchall():
+        raw = text.split(" ")
+        toks = [t for t in raw if t]
+        if not toks:
+            continue
+        q = round(
+            0.4 * min(1.0, len(raw) / 100.0)
+            + 0.6 * (len(set(raw)) / len(raw)),
+            6,
+        )
+        n = len(toks)
+        s = sum(
+            round(c * math.log(c) * ENTROPY_SCALE)
+            for c in Counter(toks).values()
+        )
+        ent = round(math.log(n) - s / ENTROPY_SCALE / n, 6)
+        xs.append(round(q * 1e6))
+        ys.append(round(ent * 1e6))
+    expected = float(np.corrcoef(xs, ys)[0, 1])
+    row = q_signal_correlation(spark, sf_dir).collect()[0]
+    assert row["n_docs"] == len(xs)
+    assert abs(row["pearson_r"] - expected) < 1e-5
+    assert row["pearson_r"] > 0.0
