@@ -35,3 +35,48 @@ def test_sessionize_is_timezone_independent(spark, tmp_path):
             assert sorted(r["n_events"] for r in rows) == [1, 1], (tz, rows)
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_float_agg_queries_are_partitioning_invariant(spark, sf_dir):
+    """The driver runs these queries in ITS OWN session (unknown
+    parallelism), so any partial-agg-order sensitivity in the double
+    sums would surface as a hash mismatch there even though local checks
+    pass. This test re-samples the aggregation order — small shuffle
+    partition count, tiny file splits, AQE off — and asserts the rounded
+    output is bit-identical: the round(…, 4/6) grain must fully absorb
+    accumulation-order noise at the data's magnitudes."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    names = [
+        "pricing_summary",
+        "regional_revenue",
+        "rollup_report",
+        "sessionize",
+        "topk_per_group",
+        "json_props_histogram",
+    ]
+
+    def snap(name):
+        df = qs[name](spark, sf_dir)
+        cols = sorted(df.columns)
+        return sorted(tuple(str(r[c]) for c in cols) for r in df.collect())
+
+    base = {n: snap(n) for n in names}
+    perturbed = {
+        "spark.sql.shuffle.partitions": "7",
+        "spark.sql.files.maxPartitionBytes": "65536",
+        "spark.sql.adaptive.enabled": "false",
+    }
+    old = {k: spark.conf.get(k, None) for k in perturbed}
+    try:
+        for k, v in perturbed.items():
+            spark.conf.set(k, v)
+        for n in names:
+            assert snap(n) == base[n], n
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
