@@ -80,3 +80,29 @@ def test_float_agg_queries_are_partitioning_invariant(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_timestamp_queries_are_session_tz_invariant(spark, sf_dir):
+    """The parquet timestamps load as TIMESTAMP_NTZ, so every
+    timestamp-touching driver query (shipdate cutoff, to_date bucketing,
+    session gaps) must produce identical output under any session
+    timezone — the driver's session tz is not ours to control."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    names = ["pricing_summary", "rollup_report", "sessionize"]
+
+    def snap(name):
+        df = qs[name](spark, sf_dir)
+        cols = sorted(df.columns)
+        return sorted(tuple(str(r[c]) for c in cols) for r in df.collect())
+
+    base = {n: snap(n) for n in names}
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        for tz in ("America/New_York", "Asia/Tokyo"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            for n in names:
+                assert snap(n) == base[n], (n, tz)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
