@@ -48,6 +48,14 @@ def main() -> None:
     ap.add_argument("--master", default=None,
                     help="override master (default: existing session or "
                          "local[$SPARK_GRAFT_CPUS])")
+    ap.add_argument("--sink", default="parquet", choices=["parquet", "noop"],
+                    help="noop = run the full compute path but discard "
+                         "rows at the sink (throughput measurement — the "
+                         "BENCH §1 metric shape)")
+    ap.add_argument("--reps", type=int, default=1,
+                    help="noop sink only: timed passes; >1 makes the "
+                         "first pass a JIT/Arrow warm-up and reports the "
+                         "best (the BENCH steady-state methodology)")
     args = ap.parse_args()
 
     from ankiocr_spark.config import ExtractConfig
@@ -78,6 +86,22 @@ def main() -> None:
             to_pages_parquet(spark, args.input, args.source_format, staged)
         print(f"staged {args.source_format} delivery -> {staged}")
         input_path = staged
+    if args.sink == "noop":
+        from ankiocr_spark.job import run_extract
+
+        pages = spark.read.parquet(input_path)
+        n = pages.count()  # warm the scan metadata; excluded rows counted below
+        best = None
+        for _ in range(max(1, args.reps)):
+            t0 = time.perf_counter()
+            run_extract(spark, pages, cfg).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        print(f"done: {n} rows -> noop in {best:.1f}s ({n / best:.0f} rows/s)")
+        spark.stop()
+        return
     if args.checkpoint_dir:
         summary = resumable_extract(spark, input_path, args.output, cfg)
         print(f"resumable_extract: {summary}")
