@@ -59,3 +59,59 @@ def test_skew_report_reads_only_the_key_column(spark, sf_dir):
     counts = docs.groupBy("source").agg(F.count("*").alias("c"))
     plan = counts._jdf.queryExecution().executedPlan().toString()
     assert "ReadSchema: struct<source:string>" in plan
+
+
+def test_aqe_splits_the_whale_join_partition(spark):
+    """north_star clause check: AQE skew-join splitting actually engages
+    on a whale key. A 95%-share host key joined sort-merge (broadcast
+    disabled, thresholds lowered to fixture scale) must execute as
+    SortMergeJoin(skew=true) with a skewed AQEShuffleRead — the runtime
+    re-plan that keeps one oversized host from stalling the join stage at
+    10^12 rows — and the split must not change the row count."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "128KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        fact = spark.range(200000).select(
+            F.when(F.col("id") < 190000, F.lit("whale.example.com"))
+            .otherwise(
+                F.concat(F.lit("host"), (F.col("id") % 50).cast("string"))
+            )
+            .alias("host"),
+            # md5 payload: incompressible, so the whale's shuffle partition
+            # SIZE (what skew detection measures) tracks its row count
+            F.concat(
+                F.md5(F.col("id").cast("string")),
+                F.md5((F.col("id") + 7).cast("string")),
+            ).alias("payload"),
+        )
+        dim = spark.range(51).select(
+            F.when(F.col("id") == 0, F.lit("whale.example.com"))
+            .otherwise(
+                F.concat(F.lit("host"), (F.col("id") - 1).cast("string"))
+            )
+            .alias("host"),
+            F.col("id").alias("host_meta"),
+        )
+        j = fact.join(dim, "host")
+        # execute THIS dataframe: the adaptive plan only finalizes (and
+        # the skew split only appears) on the executed QueryExecution
+        assert len(j.collect()) == 200000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan
+        assert "AQEShuffleRead coalesced and skewed" in plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
