@@ -418,7 +418,10 @@ def latest_per_url(snapshots: DataFrame) -> DataFrame:
     recent fetch wins (Common Crawl's CDX collapse / the read side of
     `merge_upsert` when ALL history is retained). Input: (url, fetch_ts,
     digest) with fetch_ts unique per url (real crawlers guarantee this;
-    the fixture constructs it).
+    the fixture constructs it). Reference analog: re-running OCR on a
+    note REPLACES the field content (`api.py:128` convert_note_to_OCR
+    rewrites in place) — last processing wins per note; here last fetch
+    wins per url, made explicit as an aggregation.
 
     Scale shape: ``max_by`` is an ordinary partial-aggregatable function —
     map-side combine shrinks each partition to one candidate per url

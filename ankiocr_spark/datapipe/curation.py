@@ -714,7 +714,11 @@ def q_dsir_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast hash probe + ONE per-doc integer aggregation: the corpus
     itself shuffles only (doc_id, lw) pairs, never text. At 10^12 docs
     the fit output is still 4096 rows — this is why DSIR scales where
-    per-token models do not."""
+    per-token models do not.
+
+    Reference analog: AnkiOCR selects which notes to process via a
+    Collection query (`api.py:252-268` NotesQuery); this replaces that
+    boolean selection with graded importance weighting."""
     # same tokenize + ≥2-token contract as _tokenized_docs, with lang kept
     # in the projection (joining it back on would shuffle the corpus)
     docs = (
@@ -838,7 +842,11 @@ def q_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: a pure per-row projection — line construction, the rule
     lambda, and the doc gates all fuse into the scan (zero shuffle, zero
     joins; plan-asserted). Every rule is integer/string-exact, so there
-    is no float discipline to manage."""
+    is no float discipline to manage.
+
+    Reference analog: `ocr.py:141-149` (clean_ocr_text) strips blank
+    lines and artifact characters per OCR result — the same
+    line-filtering writeback step, with C4's published rule set."""
     docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
     body = F.when(
         F.col("doc_id") % C4_PUNCT_MOD == 0, F.concat(F.col("text"), F.lit("."))
@@ -921,7 +929,11 @@ def q_badwords_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     gated docs never cost kernel time.
 
     Scale shape: pure per-row projection (token filter against a literal
-    set), fused into the scan — zero shuffle, plan-asserted."""
+    set), fused into the scan — zero shuffle, plan-asserted.
+
+    Reference analog: the language whitelist AnkiOCR applies before OCR
+    (`ocr.py:62`, ISO 639-2 list) — a config-driven allow/deny gate,
+    here over content tokens instead of language codes."""
     docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
     toks = docs.select(
         "doc_id", F.filter(F.split("text", " "), lambda x: x != "").alias("_toks")

@@ -324,7 +324,10 @@ def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash exchange on (doc_id, token) with map-side partial counts, then
     a per-doc fold on doc_id whose partials collapse map-side. Nothing
     quadratic: a doc costs its tokens. The per-term c·ln(c) quantizes to
-    micro-nat INTEGERS before summing, so the accumulation is exact."""
+    micro-nat INTEGERS before summing, so the accumulation is exact.
+
+    Reference analog: `ocr.py:141-149` drops degenerate OCR output with
+    fixed string rules; this is the distributional form of that gate."""
     docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
     toks = docs.select(
         "doc_id",
@@ -395,7 +398,11 @@ def q_signal_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: entropy's two partial-agg exchanges + one doc_id join of
     two per-doc signal relations + a moment fold that collapses map-side
-    to one row per partition. Nothing quadratic, nothing driver-side."""
+    to one row per partition. Nothing quadratic, nothing driver-side.
+
+    Reference analog: the reference reports only per-run progress counts
+    (`api.py:252-268` NotesQuery / QueryOp progress); this generalizes
+    that reporting surface to corpus-level statistics."""
     docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
     tokens = F.split("text", " ")
     x_side = docs.select(
@@ -516,7 +523,11 @@ def q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: a pure per-row projection — zero shuffle, zero joins;
     the classifier fuses into whatever scan feeds it (here: one pruned
     parquet scan → one codegen stage). This is why linear gates are the
-    first filter in every 100-TB curation stack: they cost one pass."""
+    first filter in every 100-TB curation stack: they cost one pass.
+
+    Reference analog: AnkiOCR gates what reaches a note by fixed config
+    (language whitelist, `ocr.py:62`; text scrub, `ocr.py:141-149`);
+    this lifts that fixed gate to a per-document learned score."""
     docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
     toks = docs.select(
         "doc_id",
