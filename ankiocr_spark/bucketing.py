@@ -68,6 +68,7 @@ def merge_upsert(
     delta_table: str,
     key: str = "url",
     assert_unique_delta: bool = True,
+    eager_check: bool = False,
 ) -> DataFrame:
     """Iceberg ``MERGE INTO target USING delta ON key WHEN MATCHED THEN
     UPDATE SET * WHEN NOT MATCHED THEN INSERT *`` re-expressed over
@@ -98,10 +99,36 @@ def merge_upsert(
     Disable the check for deltas already deduped upstream, e.g. by the
     streaming url-dedup ingest.
 
+    ``eager_check=True`` restores the r3 behavior for INTERACTIVE use
+    (ADVICE r4): one extra aggregation pass over the delta's key column
+    (bucketed scan, pruned to the key — cheap next to the merge itself)
+    that raises ``ValueError`` immediately at plan-construction time, so
+    a partial action (``show(5)``, ``limit``, ``first``) can never peek
+    past an invalid delta, and callers written against the r3 contract
+    keep catching ValueError. Batch/production MERGEs leave it off: the
+    write is a full materialization, where the in-plan guard fires at
+    exactly the moment Iceberg's own multiple-match check would.
+
     NULL keys can never match a target row (the join condition is
     null-rejecting), so multiple NULL-key delta rows cannot fan out —
     they all pass through as inserts, which MERGE accepts."""
     d_tbl = spark.table(delta_table)
+    if eager_check:
+        dup = (
+            d_tbl.where(F.col(key).isNotNull())
+            .groupBy(key)
+            .count()
+            .where(F.col("count") > 1)
+            .select(key)
+            .first()
+        )
+        if dup is not None:
+            raise ValueError(
+                f"MERGE: delta table {delta_table!r} has duplicate {key!r} "
+                f"keys (e.g. {dup[0]!r}) — MERGE semantics forbid multiple "
+                "matches per target row; dedup the delta (e.g. keep newest "
+                "warc_ts per key) first"
+            )
     if assert_unique_delta:
         d_tbl = d_tbl.withColumn(
             "_n_delta_rows", F.count("*").over(Window.partitionBy(key))

@@ -189,8 +189,14 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the audit — the exact shape measured and rejected for Jaccard in
     r3). The only other exchange is the per-doc top-k window. N_docs is
     a parquet-metadata count (rowgroup stats, no scan). Ties rank
-    deterministically (score desc, term asc); both engines compare the
-    same IEEE doubles."""
+    deterministically (score desc, term asc). Float caveat (ADVICE r4):
+    JVM Math.log and DuckDB's libm ln() are each only ~1-ulp accurate
+    and MAY differ, so the round(·,6) emitted values and rank
+    tie-breaks are robust only while no score sits within an ulp of a
+    rounding/rank boundary — true for every shipped fixture, checked by
+    the parity sweep each round. The engine-exact alternative is the
+    integer-quantization discipline dsir_weight/token_entropy use
+    (quantize each log term to micro-nats BEFORE aggregation)."""
     docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
     n_docs = docs.count()  # metadata-only action, same class as pagerank's
     tf = (
@@ -324,9 +330,25 @@ MIX_BUDGET_FRAC = 0.6
 #: Knuth multiplicative hash → uniform [0,1) — pure int64 arithmetic so
 #: Spark and DuckDB produce bit-identical doubles (the production swap-in
 #: is xxhash64(url), which DuckDB cannot replicate). Dividing by 2^32 is
-#: exact in IEEE double.
+#: exact in IEEE double. doc_id is REDUCED mod 2^31 BEFORE the multiply
+#: (ADVICE r4): the raw product doc_id·MULT overflows signed int64 at
+#: doc_id ≈ 3.5e9, and with ANSI off Spark wraps negative — making
+#: ``u < rate`` vacuously true, i.e. silently sampling EVERY doc beyond
+#: that id. (2^31−1)·MULT ≈ 5.7e18 stays inside int64 in both engines,
+#: values are unchanged for doc_id < 2^31, and the draw's period (2^31
+#: ids) is immaterial for a uniformity device; the xxhash64(url) swap-in
+#: has no such limit.
 _MIX_MULT = 2654435761
 _MIX_MOD = 4294967296
+_MIX_REDUCE = 2147483648  # 2^31 — keeps (doc_id % R) * MULT < 2^63
+
+
+def mix_draw(doc_id_col):
+    """Deterministic uniform draw in [0, 1) from a document id — overflow-
+    safe for the full bigint id range (see _MIX_REDUCE note above)."""
+    return ((doc_id_col % _MIX_REDUCE) * _MIX_MULT % _MIX_MOD) / F.lit(
+        float(_MIX_MOD)
+    )
 
 
 def q_domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -364,7 +386,7 @@ def q_domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (F.lit(MIX_BUDGET_FRAC) * F.col("n_total"))
         / F.col("n_lang"),
     )
-    u = ((F.col("doc_id") * _MIX_MULT) % _MIX_MOD) / F.lit(float(_MIX_MOD))
+    u = mix_draw(F.col("doc_id"))
     return docs.join(F.broadcast(counts), "lang").select(
         "doc_id",
         "lang",
@@ -390,7 +412,8 @@ rated AS (
                w * ({MIX_BUDGET_FRAC}::DOUBLE * n_total) / n_lang) AS rate
   FROM d JOIN counts USING (lang) JOIN tgt USING (lang))
 SELECT doc_id, lang, round(rate, 6) AS rate,
-       ((doc_id * {_MIX_MULT}) % {_MIX_MOD})::DOUBLE / {float(_MIX_MOD)}::DOUBLE
+       (((doc_id % {_MIX_REDUCE}) * {_MIX_MULT}) % {_MIX_MOD})::DOUBLE
+         / {float(_MIX_MOD)}::DOUBLE
          < rate AS sampled
 FROM rated
 """

@@ -48,6 +48,17 @@ PACK_CHUNK_TOKENS = 128
 #: docs per offset bucket for the two-phase prefix sum (see module doc)
 PACK_BUCKET = 100
 
+#: hard ceiling on the bucket-offset relation (VERDICT r4 nit #1): the
+#: exclusive prefix sum over bucket totals is a SINGLE-PARTITION window —
+#: fine while the relation is ~corpus/PACK_BUCKET rows (~10^5-10^6 at
+#: production sizing: PACK_BUCKET is meant to scale with the corpus), but
+#: a mis-set PACK_BUCKET would silently turn it into a real
+#: single-partition sort of the corpus. The guard is FOLDED INTO THE PLAN
+#: (a count riding the window's own single-partition exchange + a guarded
+#: raise_error filter — the merge_upsert technique), so any action over a
+#: mis-sized pack fails loudly instead of hanging an executor.
+MAX_OFFSET_BUCKETS = 1_000_000
+
 #: hash-bucket split: 90/5/5
 SPLIT_BUCKETS = 100
 TRAIN_LT = 90
@@ -109,7 +120,30 @@ def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.sum("bn").over(w_b), F.lit(0).cast("bigint")).alias(
                 "b_off"
             ),
+            # guard: rides the SAME single-partition window exchange (no
+            # extra shuffle); fires at action time if PACK_BUCKET is
+            # mis-sized for the corpus (see MAX_OFFSET_BUCKETS)
+            F.count("*").over(Window.partitionBy()).alias("_n_buckets"),
         )
+        .where(
+            F.when(
+                F.col("_n_buckets") > MAX_OFFSET_BUCKETS,
+                F.raise_error(
+                    F.concat(
+                        F.lit("seq_pack: bucket-offset relation has "),
+                        F.col("_n_buckets"),
+                        F.lit(
+                            f" rows > MAX_OFFSET_BUCKETS={MAX_OFFSET_BUCKETS}"
+                            " — PACK_BUCKET is mis-sized for this corpus"
+                            " (pick ~corpus_docs/1e5; see packing module"
+                            " doc), the offset prefix sum would become a"
+                            " single-partition sort of the corpus"
+                        ),
+                    )
+                ),
+            ).otherwise(F.lit(True))
+        )
+        .drop("_n_buckets")
     )
     placed = (
         t.join(F.broadcast(bucket_offsets), "b")

@@ -171,9 +171,13 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cross-engine float discipline: per-term scores are summed in FIXED
     query order inside one projection (never a float sum aggregate, whose
     partial-agg order is nondeterministic), and every input to the double
-    math is an exact integer (tf, dl, df, N) or a shared literal — so
-    Spark and the oracle produce bit-identical doubles, the top-k cut
-    agrees, and ties (duplicate docs) break on doc_id.
+    math is an exact integer (tf, dl, df, N) or a shared literal — so the
+    only cross-engine float risk left is the idf log itself (JVM Math.log
+    vs DuckDB libm ln are each ~1-ulp accurate and MAY differ; ADVICE
+    r4). The round(·,6) emitted scores and the top-k cut are robust to
+    that ulp unless a score sits exactly on a boundary — not the case on
+    any shipped fixture (parity-swept each round); ties (duplicate docs)
+    break on doc_id, never on the float.
 
     Scale shape: tf/dl are per-row array ops over ONE projected token
     array (zero shuffle); corpus stats (N, Σdl, per-term df) are a second

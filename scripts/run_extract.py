@@ -90,7 +90,11 @@ def main() -> None:
         from ankiocr_spark.job import run_extract
 
         pages = spark.read.parquet(input_path)
-        n = pages.count()  # warm the scan metadata; excluded rows counted below
+        # the measured rate counts OUTPUT rows (what the kernel actually
+        # produced), not input pages — quarantined/filtered rows must not
+        # inflate docs/s (ADVICE r4). The count also warms scan metadata
+        # + Arrow/JIT before the timed reps.
+        n = run_extract(spark, pages, cfg).count()
         best = None
         for _ in range(max(1, args.reps)):
             t0 = time.perf_counter()
@@ -99,7 +103,10 @@ def main() -> None:
             ).save()
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
-        print(f"done: {n} rows -> noop in {best:.1f}s ({n / best:.0f} rows/s)")
+        # full precision on the duration: downstream harnesses derive
+        # docs/s from this line, and a 0.1 s-quantized duration blurs the
+        # ratio (ADVICE r4)
+        print(f"done: {n} rows -> noop in {best:.3f}s ({n / best:.0f} rows/s)")
         spark.stop()
         return
     if args.checkpoint_dir:
@@ -109,7 +116,7 @@ def main() -> None:
         extract_job(spark, input_path, args.output, cfg)
     n = spark.read.parquet(args.output).count()
     dt = time.perf_counter() - t0
-    print(f"done: {n} rows -> {args.output} in {dt:.1f}s "
+    print(f"done: {n} rows -> {args.output} in {dt:.3f}s "
           f"({n / dt:.0f} rows/s)")
     spark.stop()
 

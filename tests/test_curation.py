@@ -8,6 +8,7 @@ import re
 from collections import Counter
 
 import duckdb
+from pyspark.sql import functions as F
 
 from ankiocr_spark.datapipe.curation import (
     EMAIL_RE,
@@ -187,6 +188,28 @@ def test_domain_mix_sample_rates_cap_and_determinism(spark, sf_dir):
     # the oversubscribed language is capped: selection cannot mint docs
     assert max(rates.values()) == 1.0
     assert min(rates.values()) < 1.0
+
+
+def test_mix_draw_is_uniform_and_overflow_safe(spark):
+    """ADVICE r4: the raw Knuth product overflows signed int64 at
+    doc_id ≈ 3.5e9 and (ANSI off) wraps negative, making u < rate
+    vacuously true — silently sampling every doc at 10^12-doc scale.
+    The reduced form must stay in [0, 1) across the id range and match
+    the unreduced value for ids below the reduction modulus."""
+    from ankiocr_spark.datapipe.curation import _MIX_MOD, _MIX_MULT, mix_draw
+
+    ids = [0, 1, 12345, 2**31 - 1, 3_500_000_000, 10**12, 2**53, 2**62]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id bigint")
+    got = {
+        r["doc_id"]: r["u"]
+        for r in df.select("doc_id", mix_draw(F.col("doc_id")).alias("u")).collect()
+    }
+    for i in ids:
+        assert 0.0 <= got[i] < 1.0, (i, got[i])
+        if i < 2**31:
+            assert got[i] == ((i * _MIX_MULT) % _MIX_MOD) / _MIX_MOD
+    # big ids spread across the unit interval (not all collapsed/true)
+    assert len({round(got[i], 3) for i in ids}) >= 6
 
 
 def test_lm_perplexity_matches_python(spark, sf_dir):

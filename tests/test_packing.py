@@ -52,6 +52,16 @@ def test_seq_pack_bucket_size_invariance(spark, sf_dir, packed, monkeypatch):
     assert key(alt) == key(packed)
 
 
+def test_seq_pack_guards_offset_relation_size(spark, sf_dir, monkeypatch):
+    """A mis-sized PACK_BUCKET must fail loudly (VERDICT r4 nit #1), not
+    silently run the offset prefix sum as a single-partition sort of the
+    corpus. The guard rides the offset window's own exchange, so the cap
+    fires at action time with zero cost in the healthy case."""
+    monkeypatch.setattr(packing, "MAX_OFFSET_BUCKETS", 2)
+    with pytest.raises(Exception, match="PACK_BUCKET is mis-sized"):
+        packing.q_seq_pack(spark, sf_dir).collect()
+
+
 def test_train_val_split_partitions_corpus(spark, sf_dir):
     rows = packing.q_train_val_split(spark, sf_dir).collect()
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
