@@ -518,14 +518,153 @@ FROM snaps GROUP BY url
 """
 
 
+# ---------------------------------------------------------------------------
+# The composed weekly-re-crawl story: delta → incremental extract → MERGE
+# ---------------------------------------------------------------------------
+
+
+def recrawl_pipeline(
+    spark: SparkSession,
+    old_pages: DataFrame,
+    old_extracts: DataFrame,
+    new_pages: DataFrame,
+    cfg=None,
+    table_prefix: str = "recrawl",
+):
+    """The weekly-re-crawl composition (VERDICT r4 #6), literally chaining
+    the three already-oracled stages:
+
+      1. ``crawl_delta`` diffs the snapshots by content digest — the
+         routing decision (added/changed → kernel; unchanged → reuse;
+         removed → leave the old extract row in place);
+      2. the kernel runs on ONLY the added/changed slice (the
+         ``incremental_extract`` economics: at 10^12 pages a weekly
+         re-crawl changes a few percent, and extraction cost must scale
+         with the delta, not the corpus);
+      3. ``merge_upsert`` applies the new snapshot's extract table to the
+         old one over url-bucketed tables — zero-Exchange full-outer join,
+         matched rows win wholesale, removed pages keep their last
+         extract (MERGE without a DELETE clause: history-preserving, the
+         CDX convention; a retention pass prunes separately).
+
+    Returns ``(merged, to_extract)`` — the merged extract table and the
+    relation the kernel actually ran on (so callers/tests can assert the
+    delta-only contract). Scale shape: one digest diff join + one kernel
+    pass over the delta + one bucketed zero-Exchange merge; the corpus
+    text bytes move only for added/changed pages.
+
+    Reference analog: re-running AnkiOCR over a collection re-OCRs every
+    selected note unconditionally (`ocr.py:218-223` run_ocr_on_query);
+    this is that re-run rebuilt with delta routing + transactional apply."""
+    import os
+    import tempfile
+
+    from .job import run_extract
+
+    old_digests = old_pages.select("url", F.md5("html").alias("digest"))
+    new_digests = new_pages.select("url", F.md5("html").alias("digest"))
+    report = crawl_delta(old_digests, new_digests)
+    to_extract = new_pages.join(
+        report.where(F.col("status").isin("added", "changed")).select("url"),
+        "url",
+        "left_semi",
+    )
+    fresh = run_extract(spark, to_extract, cfg).select("url", "extracted_text")
+    reuse = old_extracts.select("url", "extracted_text").join(
+        report.where(F.col("status") == "unchanged").select("url"),
+        "url",
+        "left_semi",
+    )
+    delta_tbl = reuse.unionByName(fresh)
+    base = tempfile.mkdtemp(prefix=f"{table_prefix}_")
+    names = (f"{table_prefix}_target_q", f"{table_prefix}_delta_q")
+    for name, df in zip(
+        names, (old_extracts.select("url", "extracted_text"), delta_tbl)
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        write_bucketed(df, name, buckets=8, key="url",
+                       path=os.path.join(base, name))
+    return merge_upsert(spark, *names), to_extract
+
+
+def q_recrawl_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: the full re-crawl round-trip over the shared delta
+    fixture (every 17th page dropped, every 5th survivor rewritten with
+    an 'UPDATED ' prefix, a new page per 7th doc). The merged table must
+    equal the closed-form union of (full re-extract of the new snapshot)
+    ∪ (old extracts of removed pages) — which is exactly what the oracle
+    states. The old snapshot's extract table is synthesized by a kernel
+    pass here (fixture necessity, like q_incremental_extract); production
+    reads it from storage, so the only kernel cost is the delta."""
+    from .config import ExtractConfig
+    from .job import run_extract
+    from .ops import doc_url, docs_as_pages, load, wrap_html
+
+    cfg = ExtractConfig(salt_buckets=8)
+    old_pages = docs_as_pages(spark, sf_dir).where(F.col("html").isNotNull())
+    old_extracts = run_extract(spark, old_pages, cfg).select(
+        "url", "extracted_text"
+    )
+    docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    survivors = docs.where(F.col("doc_id") % 17 != 0)
+    recrawled = survivors.select(
+        doc_url(F.col("doc_id")).alias("url"),
+        wrap_html(
+            F.when(
+                F.col("doc_id") % 5 == 0, F.concat(F.lit("UPDATED "), F.col("text"))
+            ).otherwise(F.col("text"))
+        ).alias("html"),
+        F.lit(None).cast("string").alias("lang"),
+    )
+    discovered = docs.where(F.col("doc_id") % 7 == 0).select(
+        doc_url(F.col("doc_id") + 1000000).alias("url"),
+        wrap_html(F.col("text")).alias("html"),
+        F.lit(None).cast("string").alias("lang"),
+    )
+    merged, _ = recrawl_pipeline(
+        spark,
+        old_pages,
+        old_extracts,
+        recrawled.unionByName(discovered),
+        cfg,
+    )
+    return merged
+
+
+def _oracle_recrawl_e2e() -> str:
+    from .ops import URL_PREFIX, extract_case_sql as extract
+
+    return f"""
+WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+old AS (
+  SELECT '{URL_PREFIX}' || doc_id AS url, {extract("text")} AS extracted_text
+  FROM d),
+new AS (
+  SELECT '{URL_PREFIX}' || doc_id AS url,
+         {extract("CASE WHEN doc_id % 5 = 0 THEN 'UPDATED ' || text ELSE text END")}
+           AS extracted_text
+  FROM d WHERE doc_id % 17 <> 0
+  UNION ALL
+  SELECT '{URL_PREFIX}' || (doc_id + 1000000) AS url,
+         {extract("text")} AS extracted_text
+  FROM d WHERE doc_id % 7 = 0)
+SELECT coalesce(new.url, old.url) AS url,
+       CASE WHEN new.url IS NOT NULL THEN new.extracted_text
+            ELSE old.extracted_text END AS extracted_text
+FROM old FULL OUTER JOIN new ON old.url = new.url
+"""
+
+
 QUERIES = {
     "merge_upsert": q_merge_upsert,
+    "recrawl_e2e": q_recrawl_e2e,
     "crawl_delta": q_crawl_delta,
     "url_latest": q_url_latest,
     "incremental_extract": q_incremental_extract,
 }
 ORACLE_SQL = {
     "merge_upsert": _oracle_merge_upsert(),
+    "recrawl_e2e": _oracle_recrawl_e2e(),
     "crawl_delta": _oracle_crawl_delta(),
     "url_latest": _oracle_url_latest(),
     "incremental_extract": _oracle_incremental_extract(),

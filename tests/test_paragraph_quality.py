@@ -213,6 +213,81 @@ def test_classifier_plan_is_shuffle_free(spark, sf_dir):
     assert "Exchange" not in plan
 
 
+def test_classifier_train_recovers_planted_weights(spark):
+    """The NB fit must recover a planted distribution (VERDICT r4 #3):
+    tokens exclusive to the positive class get positive fitted log-odds,
+    negative-class tokens negative — so scoring with the engine-fitted
+    weights separates the classes perfectly. Exact values are checked
+    against an independent Python refit (same md5 bucketing, same
+    micro-nat quantization)."""
+    import hashlib as _hl
+    import math
+    from collections import Counter
+
+    from ankiocr_spark.datapipe.textstats import (
+        CLF_NB_BUCKETS,
+        CLF_NB_SCALE,
+        nb_train_score,
+    )
+
+    pos_docs = {i: f"alpha{i % 3} alpha{(i + 1) % 3} shared" for i in range(12)}
+    neg_docs = {
+        100 + i: f"beta{i % 3} beta{(i + 1) % 3} shared" for i in range(12)
+    }
+    rows = [(d, 1, t) for d, t in pos_docs.items()] + [
+        (d, 0, t) for d, t in neg_docs.items()
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, is_pos int, text string")
+    got = {r["doc_id"]: r for r in nb_train_score(df).collect()}
+
+    def bucket(tok: str) -> int:
+        return int(_hl.md5(tok.encode()).hexdigest()[:15], 16) % CLF_NB_BUCKETS
+
+    n_all, n_pos = Counter(), Counter()
+    for d, is_pos, text in rows:
+        for t in text.split(" "):
+            b = bucket(t)
+            n_all[b] += 1
+            n_pos[b] += is_pos
+    pos_tot = sum(n_pos.values())
+    neg_tot = sum(n_all.values()) - pos_tot
+    w = {
+        b: round(
+            (
+                math.log((n_pos[b] + 1) / (pos_tot + CLF_NB_BUCKETS))
+                - math.log((n_all[b] - n_pos[b] + 1) / (neg_tot + CLF_NB_BUCKETS))
+            )
+            * CLF_NB_SCALE
+        )
+        for b in n_all
+    }
+    for d, is_pos, text in rows:
+        toks = text.split(" ")
+        s = sum(w[bucket(t)] for t in toks)
+        r = got[d]
+        assert r["n_tokens"] == len(toks)
+        assert r["pred_target"] == (s >= 0)
+        assert abs(r["nb_logodds"] - round(s / CLF_NB_SCALE / len(toks), 6)) < 1e-9
+        # planted separation: exclusive tokens dominate the shared one
+        assert r["pred_target"] == bool(is_pos)
+
+
+def test_classifier_train_plan_is_two_pass_fit_score(spark, sf_dir):
+    """Fit pass + score pass — the q_dsir_weight contract: class totals
+    ride the 4096-row counts relation as a window, never a third corpus
+    scan; the fitted weights come back as a broadcast join."""
+    from ankiocr_spark.datapipe.textstats import q_classifier_train
+
+    plan = (
+        q_classifier_train(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Scan parquet") == 2
+    assert "BroadcastHashJoin" in plan
+
+
 def test_token_entropy_matches_python(spark, sf_dir):
     """Independent entropy computation + the gate-bites check (the gate
     must drop a real slice of the fixture, and keep must agree with the
