@@ -854,6 +854,35 @@ _C4_CTA = "click here now"
 _C4_JS_LINE = "javascript is required to view this site please enable it today"
 
 
+def c4_lines(body_col, doc_id_col):
+    """The injected line structure shared by q_c4_filter and the composed
+    curation pipeline: the body line (with terminal punctuation injected
+    for every C4_PUNCT_MOD-th doc), the always-dropped CTA line, and the
+    javascript notice for every C4_JS_MOD-th doc."""
+    body = F.when(
+        doc_id_col % C4_PUNCT_MOD == 0, F.concat(body_col, F.lit("."))
+    ).otherwise(body_col)
+    return F.filter(
+        F.array(
+            body,
+            F.lit(_C4_CTA),
+            F.when(doc_id_col % C4_JS_MOD == 0, F.lit(_C4_JS_LINE)),
+        ),
+        lambda x: x.isNotNull(),
+    )
+
+
+def c4_line_ok(line):
+    """C4's line survival rule (terminal punctuation, ≥ 5 words, no
+    javascript mention) — one definition for the standalone filter and
+    the composed pipeline."""
+    return (
+        F.substring(line, -1, 1).isin(*C4_TERMINALS)
+        & (F.size(F.split(line, " ")) >= C4_MIN_LINE_WORDS)
+        & ~line.contains("javascript")
+    )
+
+
 def q_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style cleanup (Raffel et al. 2020): keep only lines that end in
     terminal punctuation, have ≥ 5 words, and don't mention javascript;
@@ -871,30 +900,12 @@ def q_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     lines and artifact characters per OCR result — the same
     line-filtering writeback step, with C4's published rule set."""
     docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
-    body = F.when(
-        F.col("doc_id") % C4_PUNCT_MOD == 0, F.concat(F.col("text"), F.lit("."))
-    ).otherwise(F.col("text"))
-    lines = F.filter(
-        F.array(
-            body,
-            F.lit(_C4_CTA),
-            F.when(F.col("doc_id") % C4_JS_MOD == 0, F.lit(_C4_JS_LINE)),
-        ),
-        lambda x: x.isNotNull(),
-    )
-
-    def line_ok(line):
-        return (
-            F.substring(line, -1, 1).isin(*C4_TERMINALS)
-            & (F.size(F.split(line, " ")) >= C4_MIN_LINE_WORDS)
-            & ~line.contains("javascript")
-        )
-
+    lines = c4_lines(F.col("text"), F.col("doc_id"))
     paged = docs.select("doc_id", "text", lines.alias("_lines")).select(
         "doc_id",
         "text",
         F.size("_lines").cast("bigint").alias("n_lines"),
-        F.filter("_lines", line_ok).alias("_kept"),
+        F.filter("_lines", c4_line_ok).alias("_kept"),
     )
     return paged.select(
         "doc_id",

@@ -78,18 +78,17 @@ def _ws_tokens() -> "F.Column":
     return F.size(F.filter(F.split("text", " "), lambda x: x != ""))
 
 
-def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Concat-and-chunk packing: lay all docs end-to-end in doc_id order
-    and cut fixed ``PACK_CHUNK_TOKENS`` windows; report, per chunk, how
-    many docs feed it and how its token budget splits across them. A doc
-    spans chunks ``start div C .. (end-1) div C`` (pure integer
-    arithmetic — no FP division anywhere near the 2^53 cliff at 10^15
-    total tokens)."""
+def pack_chunks(sized: DataFrame) -> DataFrame:
+    """Concat-and-chunk packing over a (doc_id, n) relation: lay docs
+    end-to-end in doc_id order and cut fixed ``PACK_CHUNK_TOKENS``
+    windows; report, per chunk, how many docs feed it and how its token
+    budget splits across them. A doc spans chunks ``start div C ..
+    (end-1) div C`` (pure integer arithmetic — no FP division anywhere
+    near the 2^53 cliff at 10^15 total tokens). Shared by ``q_seq_pack``
+    (raw-corpus packing) and the composed curation pipeline (packing the
+    gated survivors) — one definition, one plan shape, one guard."""
     t = (
-        _docs(spark, sf_dir)
-        .where(F.col("text").isNotNull())
-        .select("doc_id", _ws_tokens().alias("n"))
-        .where(F.col("n") > 0)
+        sized.where(F.col("n") > 0)
         .withColumn("b", F.expr(f"doc_id div {PACK_BUCKET}"))
         # redundant for non-null doc_ids, but load-bearing for the plan:
         # the bucket-offset join infers isnotnull(b) and pushes it into
@@ -174,6 +173,16 @@ def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("chunk_tokens"),
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
+    )
+
+
+def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: concat-and-chunk packing of the raw corpus (see
+    ``pack_chunks`` for the algorithm and scale shape)."""
+    return pack_chunks(
+        _docs(spark, sf_dir)
+        .where(F.col("text").isNotNull())
+        .select("doc_id", _ws_tokens().alias("n"))
     )
 
 

