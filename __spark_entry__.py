@@ -36,10 +36,44 @@ _MODULES = (ops, pdftext, warc, links, streaming, bucketing, checkpoint,
             dedup, similarity, textstats, multimodal, analytics, relational,
             pipeline, curation, packing)
 
-#: queries that have never received a driver CORRECTNESS row (r2+r3 were
-#: starved by export position > 50) plus this round's new queries — these
-#: MUST land inside the driver's 50-query window.
+#: The round-5 window, EXACTLY 50 entries (middle block intentionally
+#: empty so nothing lands in the window implicitly). Composition, per
+#: VERDICT r4 #2 (name every rotation) and ADVICE r4 (headline-benched
+#: queries belong inside the window):
+#:   - 4 NEW queries (never driver-checked): curation_pipeline_e2e,
+#:     recrawl_e2e, classifier_train, cluster_keeper_staged;
+#:   - 6 RETURNING headline-bench queries rotated back in from the tail
+#:     (each r2+r3 driver-green): dedup_exact, dedup_minhash_lsh,
+#:     ann_topk_bruteforce, token_count, quality_score, group_concat;
+#:   - flagship_extract + training_pipeline_e2e (headline, kept);
+#:   - the remaining 38 r4-green front entries, kept for a second
+#:     consecutive driver round.
+#: Rotated OUT to make room (each r4-green; all still swept by
+#: tests/test_oracle_parity.py and scripts/check_oracles.py):
+#:   run_metrics, outlinks_pagerank, stream_host_tracker, merge_upsert
+#:   (its code path now also exercised inside recrawl_e2e),
+#:   resumable_extract, dedup_ngram_jaccard (oracle-path, secondary
+#:   bench), dedup_simhash_pairs + cluster_keeper (their chain runs
+#:   inside the in-window dedup_cc_clusters / cluster_keeper_staged),
+#:   decontaminate (runs inside the in-window training_pipeline_e2e),
+#:   crawl_delta (runs inside recrawl_e2e).
 _FRONT = [
+    # new this round — must get their first driver row
+    "curation_pipeline_e2e",
+    "recrawl_e2e",
+    "classifier_train",
+    "cluster_keeper_staged",
+    # returning headline-bench queries (ADVICE r4)
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "ann_topk_bruteforce",
+    "token_count",
+    "quality_score",
+    "group_concat",
+    # headline, kept in-window
+    "flagship_extract",
+    "training_pipeline_e2e",
+    # r4-green front entries kept for a second consecutive round
     "sessionize",
     "rollup_report",
     "stratified_sample",
@@ -48,7 +82,6 @@ _FRONT = [
     "regional_revenue",
     "json_props_histogram",
     "multimodal_frame_sample",
-    "training_pipeline_e2e",
     "host_length_rank",
     "dedup_paragraph",
     "quality_percentiles",
@@ -57,7 +90,6 @@ _FRONT = [
     "repetition_filter",
     "tfidf_top_terms",
     "anchor_texts",
-    "crawl_delta",
     "incremental_extract",
     "blocklist_filter",
     "domain_mix_sample",
@@ -70,7 +102,6 @@ _FRONT = [
     "robots_policy",
     "ann_recall",
     "boilerplate_strip",
-    "cluster_keeper",
     "vocab_topn",
     "bm25_topk",
     "hybrid_rrf",
@@ -83,27 +114,32 @@ _FRONT = [
     "signal_correlation",
 ]
 
-#: long-stable singletons (multi-round green driver rows), rotated past
-#: the driver's window this round (still locally parity-checked). The
-#: last two make the 50-query boundary explicit rather than letting the
-#: module iteration order pick who falls out.
+#: everything outside the window: multi-round-green singletons plus the
+#: ten r4-green rotations named above — every entry here has ≥1 green
+#: driver CORRECTNESS row from an earlier round and is re-verified
+#: locally every round by the full-export parity sweep.
 _TAIL = [
-    # rotated out for the round-4 additions above (each driver-green in
-    # both r2 and r3; still bench-timed and locally parity-checked)
-    "dedup_exact",
-    "ann_topk_bruteforce",
+    # rotated out this round (r4-green; rationale in the _FRONT note)
+    "run_metrics",
+    "outlinks_pagerank",
+    "stream_host_tracker",
+    "merge_upsert",
+    "resumable_extract",
+    "dedup_ngram_jaccard",
+    "dedup_simhash_pairs",
+    "decontaminate",
+    "cluster_keeper",
+    "crawl_delta",
+    # long-stable singletons (r2/r3 driver-green)
     "training_set_select",
     "pagerank",
     "stream_extract",
     "stream_window_stats",
-    "dedup_minhash_lsh",
     "url_normalize",
     "dedup_simhash",
     "stream_dedup",
     "error_report",
     "outlinks",
-    "quality_score",
-    "token_count",
     "lang_id",
     "neardup_cosine",
     "ann_lsh_buckets",
@@ -112,7 +148,6 @@ _TAIL = [
     "count_distinct_twophase",
     "multimodal_meta",
     "extract_spans",
-    "group_concat",
     "pdf_extract",
     "warc_extract",
     "semi_join_ids",

@@ -754,6 +754,8 @@ def q_dsir_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(0), F.size("toks") - 2),
         lambda i: F.concat_ws(" ", F.get("toks", i), F.get("toks", i + 1)),
     )
+    from ankiocr_spark.hashing import hash60
+
     bucketed = docs.select(
         "doc_id",
         (F.col("lang") == DSIR_TARGET_LANG).cast("int").alias("is_tgt"),
@@ -761,10 +763,7 @@ def q_dsir_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id",
         "is_tgt",
-        (
-            F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("bigint")
-            % DSIR_BUCKETS
-        ).alias("bucket"),
+        (hash60(F.col("g")) % DSIR_BUCKETS).alias("bucket"),
     )
     counts = bucketed.groupBy("bucket").agg(
         F.count("*").alias("raw_n"), F.sum("is_tgt").alias("tgt_n")

@@ -222,12 +222,9 @@ def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus grows), and the report aggregates docs + tokens per split.
     Map-side arithmetic into a 3-row aggregate; the corpus never
     shuffles."""
-    b = (
-        F.conv(
-            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
-        ).cast("bigint")
-        % SPLIT_BUCKETS
-    )
+    from ankiocr_spark.hashing import hash60
+
+    b = hash60(F.col("doc_id").cast("string")) % SPLIT_BUCKETS
     split = (
         F.when(b < TRAIN_LT, F.lit("train"))
         .when(b < VAL_LT, F.lit("val"))

@@ -513,8 +513,9 @@ def clf_token_weight(t):
     """Hash-derived integer token weight in [-CLF_HALF, +CLF_HALF] — the
     fixed-weight stand-in the linear gate sums per document (shared by
     q_classifier_score and the composed curation pipeline)."""
-    h = F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint")
-    return h % CLF_MOD - F.lit(CLF_HALF)
+    from ankiocr_spark.hashing import hash60
+
+    return hash60(t) % CLF_MOD - F.lit(CLF_HALF)
 
 
 def q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -631,13 +632,12 @@ def nb_train_score(docs: DataFrame) -> DataFrame:
             "tok"
         ),
     )
+    from ankiocr_spark.hashing import hash60
+
     bucketed = toks.select(
         "doc_id",
         "is_pos",
-        (
-            F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("bigint")
-            % CLF_NB_BUCKETS
-        ).alias("bucket"),
+        (hash60(F.col("tok")) % CLF_NB_BUCKETS).alias("bucket"),
     )
     counts = bucketed.groupBy("bucket").agg(
         F.count("*").alias("n_all"), F.sum("is_pos").alias("n_pos")

@@ -53,10 +53,12 @@ SECONDARY = [
     "crossdedup_lsh",
     "train_val_split",
     "boilerplate_strip",
-    # cluster_keeper is NOT timed: at sf0.1 it re-runs the whole
-    # simhash-pair + CC-propagation chain (~69 s, dominated by stages the
-    # pair/cluster queries already characterize); the keeper itself adds
-    # one broadcast join + one cluster-partitioned window.
+    # cluster_keeper / cluster_keeper_staged are NOT timed: at sf0.1 both
+    # pay the simhash-pair + CC-propagation chain (~69 s, dominated by
+    # stages the pair/cluster queries already characterize — inline pays
+    # it in-lineage, staged pays it once at staging time); the keeper
+    # step itself adds one broadcast join + one cluster-partitioned
+    # window either way.
     "vocab_topn",
     "bm25_topk",
     "hybrid_rrf",
@@ -67,6 +69,10 @@ SECONDARY = [
     "badwords_filter",
     "token_entropy",
     "signal_correlation",
+    # r5 additions
+    "classifier_train",
+    "recrawl_e2e",
+    "curation_pipeline_e2e",
 ]
 
 
@@ -136,6 +142,116 @@ def _headline_pass(qs, spark, sf_dir) -> tuple[dict[str, float], int]:
     return timings, n_docs
 
 
+#: 10×-docs scale pass (VERDICT r4 #5): half the sf0.1 headline basket
+#: finishes in <0.5 s, inside the host-noise floor that cost r2 a false
+#: regression — so the bench ALSO times the same basket over a corpus of
+#: 10 shifted+deduplicated copies of the sf0.1 documents table (content
+#: prefixed per copy so dedup stages see the same duplicate structure,
+#: ids offset far past the queries' +1e6 injection range). Non-document
+#: tables are symlinked from sf0.1, so embeddings-backed ann_topk runs at
+#: 1× inside the 10× basket (labeled, not hidden). sf0.1 stays the
+#: round-over-round series; the 10× pass is the signal-bearing one.
+TENX_DIR = "/tmp/bench_docs_10x"
+TENX_COPIES = 10
+TENX_ID_STRIDE = 100_000_000
+
+
+def _ensure_tenx_corpus(spark, sf_dir: str) -> None:
+    ok = os.path.join(TENX_DIR, "_OK")
+    if os.path.exists(ok):
+        return
+    from pyspark.sql import functions as F
+
+    os.makedirs(TENX_DIR, exist_ok=True)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    copies = [
+        docs.select(
+            (F.col("doc_id") + i * TENX_ID_STRIDE).alias("doc_id"),
+            F.when(
+                F.col("text").isNotNull(),
+                F.concat(F.lit(f"c{i} "), F.col("text")),
+            ).alias("text"),
+            "lang",
+            "source",
+            (F.col("n_chars") + len(f"c{i} ")).alias("n_chars"),
+        )
+        for i in range(TENX_COPIES)
+    ]
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    out.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(TENX_DIR, "documents.parquet")
+    )
+    for name in ("region", "nation", "customer", "supplier", "part",
+                 "orders", "lineitem", "events", "embeddings"):
+        dst = os.path.join(TENX_DIR, f"{name}.parquet")
+        if not os.path.exists(dst):
+            os.symlink(os.path.join(sf_dir, f"{name}.parquet"), dst)
+    open(ok, "w").close()
+
+
+#: rows for the isolated hash-stage microbench: big enough that the hash
+#: expression (not scan/agg overhead) dominates — the shingle stream is
+#: ~10^14 rows at the 10^12-doc design point, so per-row hash cost is the
+#: relevant figure, not the sf0.1 end-to-end delta where fixed costs mask it
+HASH_MICRO_ROWS = 20_000_000
+
+
+def _hash_family_delta(qs, spark, sf_dir) -> dict:
+    """Quantify the md5→xxhash64 production swap (VERDICT r4 #4): best-of-2
+    end-to-end minhash/simhash timings in both modes at this sf, plus an
+    isolated hash31 microbench at shingle-stream row counts."""
+    from pyspark.sql import functions as F
+
+    from ankiocr_spark import hashing
+
+    def run_query(name, mode):
+        if mode == "production":
+            with hashing.production_hash():
+                df = qs[name](spark, sf_dir)
+        else:
+            df = qs[name](spark, sf_dir)
+        t0 = time.perf_counter()
+        df.count()
+        return time.perf_counter() - t0
+
+    out: dict = {}
+    for name in ("dedup_minhash_lsh", "dedup_simhash"):
+        best = {"oracle": float("inf"), "production": float("inf")}
+        for _ in range(2):
+            for mode in best:
+                best[mode] = min(best[mode], run_query(name, mode))
+        out[name] = {m: round(v, 3) for m, v in best.items()}
+        out[name]["speedup"] = round(best["oracle"] / best["production"], 2)
+
+    base = spark.range(HASH_MICRO_ROWS).select(
+        F.concat(F.lit("shingle token stream "), F.col("id").cast("string")).alias("t")
+    )
+
+    def run_micro(mode):
+        if mode == "production":
+            with hashing.production_hash():
+                col = hashing.hash31(F.col("t"))
+        else:
+            col = hashing.hash31(F.col("t"))
+        t0 = time.perf_counter()
+        base.select(col.alias("h")).agg(F.max("h")).collect()
+        return time.perf_counter() - t0
+
+    best = {"oracle": float("inf"), "production": float("inf")}
+    run_micro("oracle")  # warm
+    for _ in range(2):
+        for mode in best:
+            best[mode] = min(best[mode], run_micro(mode))
+    out["hash31_micro"] = {
+        "rows": HASH_MICRO_ROWS,
+        **{m: round(v, 3) for m, v in best.items()},
+        "speedup": round(best["oracle"] / best["production"], 2),
+    }
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -151,20 +267,28 @@ def main() -> None:
         spark, spark.read.parquet(KERNEL_BENCH_DIR), ExtractConfig()
     ).limit(2000).write.format("noop").mode("overwrite").save()
 
-    # round-robin windows: kernel reps and headline passes interleaved so
-    # each capability samples ≥2 windows separated by tens of seconds;
-    # per-query and per-rep minima defeat the one-sided noise
+    _ensure_tenx_corpus(spark, sf_dir)
+
+    # round-robin windows: kernel reps, sf0.1 headline passes, and the
+    # 10×-docs passes interleaved so each capability samples ≥2 windows
+    # separated by tens of seconds; per-query and per-rep minima defeat
+    # the one-sided noise
     kernel_secs = _kernel_rep_seconds(spark, 3)
     t1, n_docs = _headline_pass(qs, spark, sf_dir)
+    x1, n_docs_10x = _headline_pass(qs, spark, TENX_DIR)
     kernel_secs += _kernel_rep_seconds(spark, 2)
     t2, _ = _headline_pass(qs, spark, sf_dir)
+    x2, _ = _headline_pass(qs, spark, TENX_DIR)
     timings = {k: min(t1[k], t2[k]) for k in t1}
+    timings_10x = {k: min(x1[k], x2[k]) for k in x1}
 
     secondary: dict[str, float] = {}
     for name in SECONDARY:
         t0 = time.perf_counter()
         qs[name](spark, sf_dir).count()
         secondary[name] = round(time.perf_counter() - t0, 3)
+
+    hash_family = _hash_family_delta(qs, spark, sf_dir)
 
     kernel_dps = round(KERNEL_BENCH_DOCS / min(kernel_secs), 1)
 
@@ -185,6 +309,17 @@ def main() -> None:
         # fixture corpus (the sf tables are too small to saturate the box)
         "kernel_bench_docs": KERNEL_BENCH_DOCS,
         "kernel_docs_per_sec": kernel_dps,
+        # md5 (oracle mode) vs xxhash64 (production mode) on the hash
+        # stages — see ankiocr_spark/hashing.py and BENCH/BASELINE.md §hash
+        "hash_family": hash_family,
+        # same basket over the 10× documents corpus (embeddings symlinked
+        # at 1× — ann_topk_bruteforce therefore measures 1× there)
+        "docs_10x": n_docs_10x,
+        "value_10x": round(sum(timings_10x.values()), 3),
+        "queries_10x": timings_10x,
+        "docs_per_sec_10x": round(
+            n_docs_10x / (timings_10x.get("flagship_extract", 0.0) or 1e-9), 1
+        ),
     }
     spark.stop()
     print(json.dumps(out))

@@ -89,6 +89,10 @@ AUDIT = [
     "badwords_filter",
     "token_entropy",
     "signal_correlation",
+    "classifier_train",
+    "recrawl_e2e",
+    "curation_pipeline_e2e",
+    "cluster_keeper_staged",
 ]
 
 #: caveats rendered under the flags line — mostly for iterative queries,
