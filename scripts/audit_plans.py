@@ -153,6 +153,35 @@ NOTES = {
         "operator id: …]` — one corpus scan + tokenize, verified on the "
         "isFinalPlan=true dump. No global Sort of the corpus anywhere."
     ),
+    "curation_pipeline_e2e": (
+        "INITIAL adaptive plan: the pack prefix-sum's two branches each "
+        "print their full lineage (kernel included — hence ReadSchema×2 "
+        "and the doubled Exchange count); both kernel-bearing exchange "
+        "subtrees are canonically identical, so the EXECUTED plan "
+        "materializes the stage once and the offsets branch reads it as "
+        "a ReusedExchange — one corpus scan, ONE kernel run, asserted on "
+        "the isFinalPlan=true dump by tests/test_pipeline.py. All gates "
+        "(C4, bad-words, classifier, mix draw) collapse into the single "
+        "Filter (5) fused onto the kernel output; the mixture-rate "
+        "lookup is a literal map, not a join."
+    ),
+    "recrawl_e2e": (
+        "Composition over PRE-WRITTEN bucketed tables: the target/delta "
+        "extracts are materialized at table-build time (the staging "
+        "step), so the plan shown is the MERGE itself — the zero-Exchange "
+        "full-outer join over co-bucketed scans plus the in-plan "
+        "duplicate-delta guard window, exactly merge_upsert's audited "
+        "shape. The kernel ran only over the added/changed slice during "
+        "staging (asserted by tests/test_bucketing.py)."
+    ),
+    "cluster_keeper_staged": (
+        "Consumer-side plan of the materialized-artifact pattern: a scan "
+        "of the staged cluster parquet + broadcast join onto the corpus "
+        "+ one cluster-partitioned window — no SimHash/band/propagation "
+        "machinery anywhere in the lineage (asserted md5-free by "
+        "tests/test_dedup.py); the CC chain ran exactly once, at "
+        "staging time."
+    ),
     "crossdedup_lsh": (
         "Signatures computed in ONE pass over the union corpus, then band "
         "rows split by parity; at production scale the reference side is a "
