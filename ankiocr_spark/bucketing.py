@@ -107,7 +107,10 @@ def merge_upsert(
     past an invalid delta, and callers written against the r3 contract
     keep catching ValueError. Batch/production MERGEs leave it off: the
     write is a full materialization, where the in-plan guard fires at
-    exactly the moment Iceberg's own multiple-match check would.
+    exactly the moment Iceberg's own multiple-match check would. A
+    passing eager check SUPERSEDES the in-plan guard (the returned plan
+    carries no second uniqueness window — checking twice per action
+    would be pure duplicated work; r5 review find).
 
     NULL keys can never match a target row (the join condition is
     null-rejecting), so multiple NULL-key delta rows cannot fan out —
@@ -129,6 +132,7 @@ def merge_upsert(
                 "matches per target row; dedup the delta (e.g. keep newest "
                 "warc_ts per key) first"
             )
+        assert_unique_delta = False  # just verified; skip the in-plan guard
     if assert_unique_delta:
         d_tbl = d_tbl.withColumn(
             "_n_delta_rows", F.count("*").over(Window.partitionBy(key))
@@ -569,21 +573,30 @@ def recrawl_pipeline(
         "url",
         "left_semi",
     )
+    base = tempfile.mkdtemp(prefix=f"{table_prefix}_")
+    names = (f"{table_prefix}_target_q", f"{table_prefix}_delta_q")
+    # write the TARGET first and build the reuse branch from the WRITTEN
+    # table, not from old_extracts' lineage: old_extracts is typically a
+    # lazy kernel plan (the fixture here; a fresh extract in production),
+    # and Spark has no cross-action caching — deriving reuse from the
+    # lineage would re-run the full-corpus kernel a second time for the
+    # delta write (r5 review find). Reading the staged table back is also
+    # exactly the production shape: the old extract table IS storage.
+    spark.sql(f"DROP TABLE IF EXISTS {names[0]}")
+    write_bucketed(
+        old_extracts.select("url", "extracted_text"), names[0], buckets=8,
+        key="url", path=os.path.join(base, names[0]),
+    )
     fresh = run_extract(spark, to_extract, cfg).select("url", "extracted_text")
-    reuse = old_extracts.select("url", "extracted_text").join(
+    reuse = spark.table(names[0]).join(
         report.where(F.col("status") == "unchanged").select("url"),
         "url",
         "left_semi",
     )
     delta_tbl = reuse.unionByName(fresh)
-    base = tempfile.mkdtemp(prefix=f"{table_prefix}_")
-    names = (f"{table_prefix}_target_q", f"{table_prefix}_delta_q")
-    for name, df in zip(
-        names, (old_extracts.select("url", "extracted_text"), delta_tbl)
-    ):
-        spark.sql(f"DROP TABLE IF EXISTS {name}")
-        write_bucketed(df, name, buckets=8, key="url",
-                       path=os.path.join(base, name))
+    spark.sql(f"DROP TABLE IF EXISTS {names[1]}")
+    write_bucketed(delta_tbl, names[1], buckets=8, key="url",
+                   path=os.path.join(base, names[1]))
     return merge_upsert(spark, *names), to_extract
 
 

@@ -345,8 +345,14 @@ _MIX_REDUCE = 2147483648  # 2^31 — keeps (doc_id % R) * MULT < 2^63
 
 def mix_draw(doc_id_col):
     """Deterministic uniform draw in [0, 1) from a document id — overflow-
-    safe for the full bigint id range (see _MIX_REDUCE note above)."""
-    return ((doc_id_col % _MIX_REDUCE) * _MIX_MULT % _MIX_MOD) / F.lit(
+    safe for the full bigint id range (see _MIX_REDUCE note above), and
+    sign-safe: ``pmod`` (not ``%``, which keeps the dividend's sign in
+    both engines) guarantees a NON-NEGATIVE reduced id, so a negative
+    doc_id cannot produce u < 0 and make ``u < rate`` vacuously true —
+    the same silent-oversampling mode the overflow fix closed for large
+    positive ids (r5 review find). The oracle mirrors pmod as
+    ``(x % R + R) % R``; values are unchanged for non-negative ids."""
+    return (F.pmod(doc_id_col, _MIX_REDUCE) * _MIX_MULT % _MIX_MOD) / F.lit(
         float(_MIX_MOD)
     )
 
@@ -412,7 +418,8 @@ rated AS (
                w * ({MIX_BUDGET_FRAC}::DOUBLE * n_total) / n_lang) AS rate
   FROM d JOIN counts USING (lang) JOIN tgt USING (lang))
 SELECT doc_id, lang, round(rate, 6) AS rate,
-       (((doc_id % {_MIX_REDUCE}) * {_MIX_MULT}) % {_MIX_MOD})::DOUBLE
+       ((((doc_id % {_MIX_REDUCE} + {_MIX_REDUCE}) % {_MIX_REDUCE})
+          * {_MIX_MULT}) % {_MIX_MOD})::DOUBLE
          / {float(_MIX_MOD)}::DOUBLE
          < rate AS sampled
 FROM rated

@@ -914,6 +914,16 @@ def _keeper_over(
     )
 
 
+#: per-process staging memo: sf_dir → materialized cluster-table path.
+#: Without it every consumer call re-pays the full sketch→pair→CC chain
+#: (and leaks a temp dir) — the exact waste staging exists to remove
+#: (r5 review find). The path is DETERMINISTIC per sf_dir, so re-runs
+#: across sessions overwrite one location instead of accumulating dirs;
+#: the sf tables are immutable fixtures, so reuse within a process is
+#: sound (production keys the artifact by snapshot id the same way).
+_STAGED_CLUSTERS: dict = {}
+
+
 def stage_cluster_assignments(
     spark: SparkSession, sf_dir: str, path: str = None
 ) -> str:
@@ -924,14 +934,22 @@ def stage_cluster_assignments(
     table is tiny (only docs in ≥1 near-dup pair) and is read many times;
     recomputing the pair+propagation chain per consumer — what the inline
     ``q_cluster_keeper`` composition does, ~69 s at sf0.1 (VERDICT r4
-    nit #2) — is pure waste."""
+    nit #2) — is pure waste. Staged once per (process, sf_dir); see
+    ``_STAGED_CLUSTERS``."""
+    import hashlib
     import os
     import tempfile
 
-    path = path or os.path.join(
-        tempfile.mkdtemp(prefix="cc_stage_"), "clusters"
-    )
+    if path is None:
+        cached = _STAGED_CLUSTERS.get(sf_dir)
+        if cached and os.path.exists(cached):
+            return cached
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+        path = os.path.join(
+            tempfile.gettempdir(), f"cc_stage_{tag}", "clusters"
+        )
     q_dedup_cc_clusters(spark, sf_dir).write.mode("overwrite").parquet(path)
+    _STAGED_CLUSTERS[sf_dir] = path
     return path
 
 

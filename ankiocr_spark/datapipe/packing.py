@@ -54,9 +54,10 @@ PACK_BUCKET = 100
 #: production sizing: PACK_BUCKET is meant to scale with the corpus), but
 #: a mis-set PACK_BUCKET would silently turn it into a real
 #: single-partition sort of the corpus. The guard is FOLDED INTO THE PLAN
-#: (a count riding the window's own single-partition exchange + a guarded
-#: raise_error filter — the merge_upsert technique), so any action over a
-#: mis-sized pack fails loudly instead of hanging an executor.
+#: (a broadcast bucket-count + guarded raise_error filter over the
+#: still-distributed totals rows — the merge_upsert technique), so any
+#: action over a mis-sized pack fails loudly BEFORE the single-partition
+#: exchange moves a row (see the in-code note in pack_chunks).
 MAX_OFFSET_BUCKETS = 1_000_000
 
 #: hash-bucket split: 90/5/5
@@ -111,19 +112,27 @@ def pack_chunks(sized: DataFrame) -> DataFrame:
     # (ReusedExchange — same trick as jaccard's ride-the-postings window),
     # so the corpus is scanned and tokenized exactly once.
     w_b = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
-    bucket_offsets = (
-        t.groupBy("b")
-        .agg(F.max(F.col("local_start") + F.col("n")).alias("bn"))
-        .select(
-            "b",
-            F.coalesce(F.sum("bn").over(w_b), F.lit(0).cast("bigint")).alias(
-                "b_off"
-            ),
-            # guard: rides the SAME single-partition window exchange (no
-            # extra shuffle); fires at action time if PACK_BUCKET is
-            # mis-sized for the corpus (see MAX_OFFSET_BUCKETS)
-            F.count("*").over(Window.partitionBy()).alias("_n_buckets"),
-        )
+    totals = t.groupBy("b").agg(
+        F.max(F.col("local_start") + F.col("n")).alias("bn")
+    )
+    # guard: the bucket COUNT comes from a tiny aggregate branch over the
+    # totals relation (partial-agg collapsed; shares the window's hash
+    # exchange via AQE stage reuse, like the totals branch itself) and is
+    # broadcast back, so the raise_error filter evaluates on the still-
+    # DISTRIBUTED totals rows — i.e. the job fails BEFORE the
+    # SinglePartition exchange+sort it guards against ever moves a row.
+    # (The first cut counted via an unpartitioned window, which only
+    # fires AFTER the executor has pulled and sorted the whole relation —
+    # useless in exactly the disaster case; r5 review find.)
+    # count("bn") not count("*"): equal (bn is never null), but the bn
+    # reference stops ColumnPruning from rewriting this branch into a
+    # keys-only aggregate with its OWN shorter lineage — which would not
+    # canonically match the window exchange and so would re-run the
+    # upstream stages (the kernel, in the curation composition) instead
+    # of reusing the materialized stage.
+    n_buckets = totals.agg(F.count("bn").alias("_n_buckets"))
+    guarded = (
+        totals.crossJoin(F.broadcast(n_buckets))
         .where(
             F.when(
                 F.col("_n_buckets") > MAX_OFFSET_BUCKETS,
@@ -143,6 +152,12 @@ def pack_chunks(sized: DataFrame) -> DataFrame:
             ).otherwise(F.lit(True))
         )
         .drop("_n_buckets")
+    )
+    bucket_offsets = guarded.select(
+        "b",
+        F.coalesce(F.sum("bn").over(w_b), F.lit(0).cast("bigint")).alias(
+            "b_off"
+        ),
     )
     placed = (
         t.join(F.broadcast(bucket_offsets), "b")

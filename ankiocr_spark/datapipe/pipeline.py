@@ -387,7 +387,8 @@ gated AS (
 sampled AS (
   SELECT doc_id, n FROM gated
   WHERE {rate_case} IS NOT NULL
-    AND (((doc_id % {_MIX_REDUCE}) * {_MIX_MULT}) % {_MIX_MOD})::DOUBLE
+    AND ((((doc_id % {_MIX_REDUCE} + {_MIX_REDUCE}) % {_MIX_REDUCE})
+           * {_MIX_MULT}) % {_MIX_MOD})::DOUBLE
           / {float(_MIX_MOD)}::DOUBLE < {rate_case}),
 off AS (
   SELECT doc_id, n,

@@ -618,8 +618,15 @@ def nb_train_score(docs: DataFrame) -> DataFrame:
     branch — Catalyst has no cross-branch CSE); the fitted weights
     BROADCAST back onto the same bucketed token stream; scoring is ONE
     per-doc integer aggregation. Weights are micro-nat integers, so the
-    per-doc sum is engine-exact and the pred boundary (sum ≥ 0) cannot
-    ulp-flake; the single float division runs once per output row.
+    per-doc sum is engine-exact GIVEN identical fitted weights, and the
+    single float division runs once per output row. Residual float
+    caveat (the tfidf/bm25 class, r5 review): the weight FIT itself
+    rounds a float log difference to the nearest micro-nat per bucket —
+    JVM Math.log vs DuckDB ln are each ~1-ulp accurate, so a bucket
+    whose scaled log-odds lands within an ulp of a .5 boundary could
+    fit ±1 micro-nat apart across engines. Not observed on any shipped
+    fixture (parity-swept each round); the fully-exact alternative is
+    an integer log-table lookup, not worth the complexity here.
 
     Reference analog: AnkiOCR ships a FIXED language whitelist + text
     scrub as its quality gate (`ocr.py:62`, `ocr.py:141-149`); this

@@ -157,11 +157,18 @@ TENX_ID_STRIDE = 100_000_000
 
 
 def _ensure_tenx_corpus(spark, sf_dir: str) -> None:
+    # the cache marker records WHICH sf_dir built the corpus: a bench run
+    # with a different $SPARK_GRAFT_SF_DIR must rebuild, not silently
+    # reuse a 10× corpus (and symlinks) derived from the previous sf
+    # (r5 review find)
     ok = os.path.join(TENX_DIR, "_OK")
-    if os.path.exists(ok):
+    if os.path.exists(ok) and open(ok).read() == sf_dir:
         return
+    import shutil
+
     from pyspark.sql import functions as F
 
+    shutil.rmtree(TENX_DIR, ignore_errors=True)
     os.makedirs(TENX_DIR, exist_ok=True)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     copies = [
@@ -188,7 +195,8 @@ def _ensure_tenx_corpus(spark, sf_dir: str) -> None:
         dst = os.path.join(TENX_DIR, f"{name}.parquet")
         if not os.path.exists(dst):
             os.symlink(os.path.join(sf_dir, f"{name}.parquet"), dst)
-    open(ok, "w").close()
+    with open(ok, "w") as fh:
+        fh.write(sf_dir)
 
 
 #: rows for the isolated hash-stage microbench: big enough that the hash

@@ -90,11 +90,16 @@ def main() -> None:
         from ankiocr_spark.job import run_extract
 
         pages = spark.read.parquet(input_path)
-        # the measured rate counts OUTPUT rows (what the kernel actually
-        # produced), not input pages — quarantined/filtered rows must not
-        # inflate docs/s (ADVICE r4). The count also warms scan metadata
-        # + Arrow/JIT before the timed reps.
-        n = run_extract(spark, pages, cfg).count()
+        # the measured rate counts SUCCESSFUL output rows — the kernel
+        # emits one row per input page even for quarantined pages (error
+        # set, extracted_text NULL), so a bare count() would equal the
+        # input count; filtering on the error column is what actually
+        # keeps quarantined/filtered rows from inflating docs/s (ADVICE
+        # r4). The count also warms scan metadata + Arrow/JIT before the
+        # timed reps.
+        from pyspark.sql import functions as F
+
+        n = run_extract(spark, pages, cfg).where(F.col("error").isNull()).count()
         best = None
         for _ in range(max(1, args.reps)):
             t0 = time.perf_counter()

@@ -198,7 +198,10 @@ def test_mix_draw_is_uniform_and_overflow_safe(spark):
     the unreduced value for ids below the reduction modulus."""
     from ankiocr_spark.datapipe.curation import _MIX_MOD, _MIX_MULT, mix_draw
 
-    ids = [0, 1, 12345, 2**31 - 1, 3_500_000_000, 10**12, 2**53, 2**62]
+    # negative ids exercise the pmod sign-safety (plain % would yield a
+    # negative draw → u < rate vacuously true)
+    ids = [0, 1, 12345, 2**31 - 1, 3_500_000_000, 10**12, 2**53, 2**62,
+           -1, -42, -(2**40)]
     df = spark.createDataFrame([(i,) for i in ids], "doc_id bigint")
     got = {
         r["doc_id"]: r["u"]
@@ -206,7 +209,7 @@ def test_mix_draw_is_uniform_and_overflow_safe(spark):
     }
     for i in ids:
         assert 0.0 <= got[i] < 1.0, (i, got[i])
-        if i < 2**31:
+        if 0 <= i < 2**31:
             assert got[i] == ((i * _MIX_MULT) % _MIX_MOD) / _MIX_MOD
     # big ids spread across the unit interval (not all collapsed/true)
     assert len({round(got[i], 3) for i in ids}) >= 6
