@@ -214,24 +214,31 @@ def _hash_family_delta(qs, spark, sf_dir) -> dict:
 
     from ankiocr_spark import hashing
 
-    def run_query(name, mode):
+    def run_query(name, mode, d):
         if mode == "production":
             with hashing.production_hash():
-                df = qs[name](spark, sf_dir)
+                df = qs[name](spark, d)
         else:
-            df = qs[name](spark, sf_dir)
+            df = qs[name](spark, d)
         t0 = time.perf_counter()
         df.count()
         return time.perf_counter() - t0
 
     out: dict = {}
-    for name in ("dedup_minhash_lsh", "dedup_simhash"):
+    targets = [
+        ("dedup_minhash_lsh", sf_dir, "dedup_minhash_lsh"),
+        ("dedup_simhash", sf_dir, "dedup_simhash"),
+        # the shingle stream grows linearly with docs, so the swap's
+        # end-to-end effect is best read at the 10× scale point
+        ("dedup_minhash_lsh", TENX_DIR, "dedup_minhash_lsh_10x"),
+    ]
+    for name, d, label in targets:
         best = {"oracle": float("inf"), "production": float("inf")}
         for _ in range(2):
             for mode in best:
-                best[mode] = min(best[mode], run_query(name, mode))
-        out[name] = {m: round(v, 3) for m, v in best.items()}
-        out[name]["speedup"] = round(best["oracle"] / best["production"], 2)
+                best[mode] = min(best[mode], run_query(name, mode, d))
+        out[label] = {m: round(v, 3) for m, v in best.items()}
+        out[label]["speedup"] = round(best["oracle"] / best["production"], 2)
 
     base = spark.range(HASH_MICRO_ROWS).select(
         F.concat(F.lit("shingle token stream "), F.col("id").cast("string")).alias("t")

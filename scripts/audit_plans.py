@@ -144,14 +144,20 @@ NOTES = {
         "Two-phase global prefix sum: the corpus window partitions by the "
         "coarse doc_id bucket (parallel), the single-partition window runs "
         "only over the tiny per-bucket totals relation (corpus/PACK_BUCKET "
-        "rows), which then BroadcastHashJoins back. The ReadSchema×2 here "
-        "is the INITIAL adaptive plan only: both branches are built on a "
-        "canonically identical exchange (the bucket-totals branch derives "
-        "totals from the windowed rows, plus an explicit isnotnull(b) that "
-        "keeps the join's inferred null-check from de-canonicalizing one "
-        "side), so the EXECUTED plan shows `ReusedExchange [Reuses "
-        "operator id: …]` — one corpus scan + tokenize, verified on the "
-        "isFinalPlan=true dump. No global Sort of the corpus anywhere."
+        "rows), which then BroadcastHashJoins back. The ReadSchema/"
+        "Exchange multiplicity here is the INITIAL adaptive plan only: "
+        "all three consumers of the corpus window (the cumsum branch, "
+        "the bucket-totals branch, and the totals-count guard branch) "
+        "are built on a canonically identical exchange (totals derive "
+        "from the windowed rows; an explicit isnotnull(b) keeps the "
+        "join's inferred null-check from de-canonicalizing one side; "
+        "the guard counts count(bn), not count(*), so ColumnPruning "
+        "cannot rewrite it onto a shorter lineage), so the EXECUTED "
+        "plan shows `ReusedExchange` — one corpus scan + tokenize, "
+        "verified on the isFinalPlan=true dump. The guard's raise_error "
+        "filter evaluates on the distributed totals rows, BEFORE the "
+        "single-partition offset exchange moves anything. No global "
+        "Sort of the corpus anywhere."
     ),
     "curation_pipeline_e2e": (
         "INITIAL adaptive plan: the pack prefix-sum's two branches each "
