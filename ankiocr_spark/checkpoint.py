@@ -10,13 +10,14 @@ A run processes pending buckets in groups; after each group's output
 commits (dynamic partition overwrite → idempotent), one ledger row per
 bucket is appended:
 
-    run_id, kernel_version, bucket, status, rows_in, rows_out,
-    n_errors, n_empty, bytes_in, started, finished
+    run_id, kernel_version, salt_buckets, bucket, status, rows_in,
+    rows_out, n_errors, n_empty, bytes_in, started, finished
 
-On restart, completed buckets (same kernel_version) are anti-joined away
-and only pending buckets recompute. A kernel change invalidates the ledger
-(different kernel_version → full recompute), so stale extracts can never
-survive a kernel upgrade — the lineage guarantee.
+On restart, completed buckets (same kernel_version AND same salt_buckets)
+are anti-joined away and only pending buckets recompute. A kernel change
+OR a bucket-count change invalidates the ledger (full recompute): stale
+extracts can never survive a kernel upgrade, and bucket ids can never be
+reinterpreted modulo a different count — the lineage guarantee.
 
 At 100 TB the ledger stays tiny (one row per bucket per run: 10^4-10^5
 rows), the anti-join is a driver-side set difference (collected bucket
@@ -41,9 +42,9 @@ from .job import EXTRACT_SCHEMA
 from .kernel import KERNEL_VERSION
 
 LEDGER_SCHEMA = (
-    "run_id string, kernel_version string, bucket int, status string, "
-    "rows_in long, rows_out long, n_errors long, n_empty long, bytes_in long, "
-    "started timestamp, finished timestamp"
+    "run_id string, kernel_version string, salt_buckets int, bucket int, "
+    "status string, rows_in long, rows_out long, n_errors long, "
+    "n_empty long, bytes_in long, started timestamp, finished timestamp"
 )
 
 
@@ -54,8 +55,19 @@ def read_ledger(spark: SparkSession, ledger_dir: str) -> Optional[DataFrame]:
         return None  # first run — no ledger yet
 
 
-def completed_buckets(spark: SparkSession, ledger_dir: str) -> List[int]:
-    """Buckets already extracted by the CURRENT kernel version."""
+def completed_buckets(
+    spark: SparkSession, ledger_dir: str, salt_buckets: int
+) -> List[int]:
+    """Buckets already extracted by the CURRENT kernel version under the
+    SAME bucket count. ``salt_buckets`` is lineage exactly like
+    ``kernel_version`` (r5 review find): bucket ids are only meaningful
+    modulo the count they were hashed with, so resuming a mod-8 ledger
+    with salt_buckets=32 must invalidate it (full recompute) — otherwise
+    the output mixes two incompatible bucketings: a url whose
+    xxhash64%32 lands in a 'new' bucket would be recomputed NEXT TO its
+    old mod-8 partition (duplicate rows), while the reverse direction
+    would no-op on a table whose layout never matches the requested
+    config."""
     ledger = read_ledger(spark, ledger_dir)
     if ledger is None:
         return []
@@ -63,6 +75,7 @@ def completed_buckets(spark: SparkSession, ledger_dir: str) -> List[int]:
         ledger.where(
             (F.col("status") == "done")
             & (F.col("kernel_version") == KERNEL_VERSION)
+            & (F.col("salt_buckets") == salt_buckets)
         )
         .select("bucket")
         .distinct()
@@ -120,12 +133,18 @@ def _extract_batches_with_stats(acc, preserve_spaces: bool = False):
                 r["bucket"] = int(bucket)
                 recs.append(r)
                 n_bytes = len(html) if html is not None else 0
+                is_err = r["error"] is not None
                 s = local.get(r["bucket"], (0, 0, 0, 0, 0))
                 local[r["bucket"]] = (
                     s[0] + 1,
                     s[1] + n_bytes,
-                    s[2] + 1,
-                    s[3] + (1 if r["error"] is not None else 0),
+                    # rows_out = rows that produced a usable extract; the
+                    # kernel emits a quarantine row per failed input, so
+                    # counting emissions made rows_out ≡ rows_in — a dead
+                    # metric (r5 review find). rows_in − rows_out is now
+                    # the quarantine volume an operator actually watches.
+                    s[2] + (0 if is_err else 1),
+                    s[3] + (1 if is_err else 0),
                     s[4] + (1 if r["extracted_text"] == "" else 0),
                 )
             acc.add(local)
@@ -167,7 +186,7 @@ def resumable_extract(
             "metrics ride a transformation-side accumulator, which "
             "speculative duplicate tasks would double-count"
         )
-    ledger_dir = cfg.checkpoint_dir or os.path.join(output_path + "_ledger")
+    ledger_dir = cfg.checkpoint_dir or output_path + "_ledger"
     run_id = uuid.uuid4().hex[:16]
 
     # HARD requirement, not an ambient assumption (round-1 VERDICT #3): with
@@ -190,8 +209,10 @@ def resumable_extract(
         )
 
     all_buckets = list(range(cfg.salt_buckets))
-    done = set(completed_buckets(spark, ledger_dir))
+    done = set(completed_buckets(spark, ledger_dir, cfg.salt_buckets))
     pending = [b for b in all_buckets if b not in done]
+
+    from .job import bucket_col
 
     pages = spark.read.parquet(input_path)
     if cfg.lang_filter:
@@ -199,9 +220,7 @@ def resumable_extract(
     pages = pages.select(
         "url",
         "html",
-        F.pmod(F.xxhash64(F.col("url")), F.lit(cfg.salt_buckets))
-        .cast("int")
-        .alias("bucket"),
+        bucket_col(F.col("url"), cfg.salt_buckets).alias("bucket"),
     )
 
     groups: List[List[int]] = [
@@ -243,8 +262,9 @@ def resumable_extract(
                 b, (0, 0, 0, 0, 0)
             )
             ledger_rows.append(
-                (run_id, KERNEL_VERSION, b, "done", rows_in, rows_out,
-                 n_err, n_empty, bytes_in, started, finished)
+                (run_id, KERNEL_VERSION, cfg.salt_buckets, b, "done",
+                 rows_in, rows_out, n_err, n_empty, bytes_in, started,
+                 finished)
             )
         _append_ledger(spark, ledger_dir, ledger_rows)
         processed_groups += 1

@@ -102,6 +102,17 @@ def make_spans_batches(preserve_spaces: bool = False):
     return fn
 
 
+def bucket_col(url_col, buckets: int) -> "F.Column":
+    """THE salt-bucket expression — ``pmod(xxhash64(url), buckets)`` as an
+    int. One definition for every site that must agree byte-for-byte
+    (salted repartition, the post-kernel partition column, the resumable
+    ledger's bucket key, the streaming sink): resume, MERGE and
+    compaction are all keyed on this value, so a drifted copy would
+    silently split a table across two incompatible bucketings (r5
+    review find — it was inlined at four call sites)."""
+    return F.pmod(F.xxhash64(url_col), F.lit(buckets)).cast("int")
+
+
 def salted(df: DataFrame, buckets: int) -> DataFrame:
     """Attach the salt/bucket column and hash-repartition on it.
 
@@ -109,9 +120,7 @@ def salted(df: DataFrame, buckets: int) -> DataFrame:
     (north_rule skew handling). The bucket column doubles as the output
     partition key so re-runs, resumes, and MERGEs stay partition-local.
     """
-    df = df.withColumn(
-        "bucket", F.pmod(F.xxhash64(F.col("url")), F.lit(buckets)).cast("int")
-    )
+    df = df.withColumn("bucket", bucket_col(F.col("url"), buckets))
     return df.repartition(buckets, F.col("bucket"))
 
 
@@ -179,9 +188,7 @@ def run_extract(
     # xxhash64 over the short url is noise next to the kernel; carrying
     # the int through the kernel's Arrow batch instead would widen the
     # Python-boundary transfer for every row to save it
-    return out.withColumn(
-        "bucket", F.pmod(F.xxhash64(F.col("url")), F.lit(cfg.salt_buckets)).cast("int")
-    )
+    return out.withColumn("bucket", bucket_col(F.col("url"), cfg.salt_buckets))
 
 
 def extract_job(

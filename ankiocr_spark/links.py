@@ -309,6 +309,26 @@ SELECT node, round(rank, 8) AS pagerank FROM r{PR_ITERS}
 _DEFAULT_PORTS = {"http": "80", "https": "443"}
 
 
+def host_col(u) -> "F.Column":
+    """Crawl host of a URL as a pure codegen expression: case-folded,
+    port-stripped (IPv6 bracket authorities kept whole — the ADVICE r3
+    rule below), tolerant of uppercase schemes and of urls with no path
+    ('https://example.org'). This is the per-host bucketing key the
+    streaming stats/state operators group on (r5 review: their ad-hoc
+    ``^[a-z]+://([^/]+)/`` regex sent uppercase-scheme, slashless, and
+    ported urls to host '' / distinct keys); sharing the parsing rules
+    with ``normalize_url_col`` keeps every host key in the engine
+    identical."""
+    from pyspark.sql import functions as F
+
+    hostport = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)", 1)
+    bracket = F.regexp_extract(hostport, r"^(\[[^\]]*\])", 1)
+    return F.lower(
+        F.when(bracket != "", bracket)
+        .otherwise(F.split(hostport, ":", 2).getItem(0))
+    )
+
+
 def normalize_url_col(u) -> "F.Column":
     """Canonical URL as a pure codegen expression — no UDF, no shuffle:
     lowercase scheme and host, strip the fragment, drop scheme-default

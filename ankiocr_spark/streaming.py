@@ -46,7 +46,15 @@ def stream_pages(
 ) -> DataFrame:
     """File-source stream of the pages table (schema = input_hint)."""
     reader = spark.readStream.schema(PAGES_SCHEMA)
-    if max_files_per_trigger:
+    if max_files_per_trigger is not None:
+        # explicit validation, not a falsy check: 0 previously fell
+        # through as "unset" and silently ran an UNBOUNDED first trigger
+        # — the opposite of the memory bound the knob exists for (r5
+        # review find)
+        if max_files_per_trigger < 1:
+            raise ValueError(
+                f"max_files_per_trigger must be >= 1, got {max_files_per_trigger}"
+            )
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return reader.parquet(input_dir)
 
@@ -62,7 +70,7 @@ def stream_extract_plan(pages: DataFrame, cfg: Optional[ExtractConfig] = None) -
     preserve_interword_spaces and lang_filter were silently ignored,
     breaking the batch/stream parity the module promises); the knobs with
     no streaming analog raise instead of silently doing nothing."""
-    from .job import make_extract_batches
+    from .job import bucket_col, make_extract_batches
 
     cfg = cfg or ExtractConfig()
     if cfg.output_mode == "spans" or cfg.extra_passthrough_cols:
@@ -71,15 +79,40 @@ def stream_extract_plan(pages: DataFrame, cfg: Optional[ExtractConfig] = None) -
             "no extra_passthrough_cols — use the batch extract_job for "
             "those modes"
         )
+    if cfg.presalt_shuffle:
+        # no silent no-op (the module contract): a per-micro-batch
+        # stateless repartition buys no balance here — micro-batch file
+        # splits already bound task size via maxFilesPerTrigger
+        raise ValueError(
+            "presalt_shuffle has no streaming analog (maxFilesPerTrigger "
+            "bounds micro-batch task size) — use the batch extract_job "
+            "for salted-repartition layouts"
+        )
     if cfg.lang_filter:
         pages = pages.where(F.col("lang").isin(cfg.lang_filter))
     out = pages.select("url", "html").mapInPandas(
         make_extract_batches(cfg.preserve_interword_spaces), EXTRACT_SCHEMA
     )
-    return out.withColumn(
-        "bucket",
-        F.pmod(F.xxhash64(F.col("url")), F.lit(cfg.salt_buckets)).cast("int"),
+    return out.withColumn("bucket", bucket_col(F.col("url"), cfg.salt_buckets))
+
+
+def _apply_stream_confs(spark: SparkSession, cfg: ExtractConfig) -> None:
+    """Session confs the streaming entries share with the batch job:
+    Arrow batch sizing plus — when set — the file-split knobs, which
+    apply to micro-batch file reads exactly as to batch scans
+    (r5 review: max_split_mb was silently ignored here, the same bug
+    class r3 fixed for resumable_extract)."""
+    spark.conf.set(
+        "spark.sql.execution.arrow.maxRecordsPerBatch", str(cfg.batch_rows)
     )
+    if cfg.max_split_mb:
+        spark.conf.set(
+            "spark.sql.files.maxPartitionBytes", str(cfg.max_split_mb << 20)
+        )
+        spark.conf.set(
+            "spark.sql.files.openCostInBytes",
+            str(max(1, cfg.max_split_mb // 4) << 20),
+        )
 
 
 def start_stream_extract(
@@ -96,9 +129,7 @@ def start_stream_extract(
     call again after new dumps land and ONLY the new files process (the
     resume test asserts this)."""
     cfg = cfg or ExtractConfig()
-    spark.conf.set(
-        "spark.sql.execution.arrow.maxRecordsPerBatch", str(cfg.batch_rows)
-    )
+    _apply_stream_confs(spark, cfg)
     pages = stream_pages(spark, input_dir, max_files_per_trigger)
     plan = stream_extract_plan(pages, cfg)
     writer = (
@@ -145,9 +176,7 @@ def start_stream_extract_dedup(
     state stays bounded (urls-per-horizon, not all urls ever) — the
     streaming complement of the batch dedup_exact operator."""
     cfg = cfg or ExtractConfig()
-    spark.conf.set(
-        "spark.sql.execution.arrow.maxRecordsPerBatch", str(cfg.batch_rows)
-    )
+    _apply_stream_confs(spark, cfg)
     pages = stream_pages(spark, input_dir)
     deduped = (
         pages.withWatermark("warc_ts", dedup_horizon)
@@ -159,6 +188,11 @@ def start_stream_extract_dedup(
         .option("path", output_dir)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
+        # bucket-partitioned like the plain ingest sink — the module
+        # contract ("the downstream MERGE/compaction story is identical
+        # for both entry points"); previously the dedup path wrote
+        # bucket as a data column only (r5 review find)
+        .partitionBy("bucket")
         .trigger(availableNow=True)
         .start()
     )
@@ -181,9 +215,18 @@ def start_stream_host_stats(
     ``watermark`` behind the stream's max ``warc_ts`` are dropped rather
     than reopening finalized windows, so state stays bounded — at 10^12
     docs the state store holds only (hosts x open windows), not history.
-    Append mode emits a window only once it is closed by the watermark."""
+    Append mode emits a window only once it is closed by the watermark.
+
+    Host key = ``links.host_col`` (case-folded, port-stripped, IPv6-safe
+    — shared with URL canonicalization; the previous ad-hoc regex sent
+    uppercase-scheme/slashless/ported urls to degenerate keys). The
+    driver oracle keeps its simple closed form: the fixture urls are
+    lowercase with paths and no ports, where the two definitions agree
+    value-for-value."""
+    from .links import host_col
+
     pages = stream_pages(spark, input_dir, max_files_per_trigger)
-    host = F.regexp_extract("url", r"^[a-z]+://([^/]+)/", 1).alias("host")
+    host = host_col(F.col("url")).alias("host")
     agg = (
         pages.select(host, "warc_ts")
         .withWatermark("warc_ts", watermark)
@@ -266,9 +309,11 @@ def start_stream_host_tracker(
     mode: each trigger emits one refreshed row per host that saw pages."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    from .links import host_col
+
     pages = stream_pages(spark, input_dir, max_files_per_trigger)
     per_host = pages.select(
-        F.regexp_extract("url", r"^[a-z]+://([^/]+)/", 1).alias("host"),
+        host_col(F.col("url")).alias("host"),  # shared parsing; see host stats
         F.octet_length("html").alias("n_bytes"),
         "warc_ts",
     )

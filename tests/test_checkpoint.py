@@ -35,7 +35,7 @@ def test_kill_and_resume(spark, pages_dir, tmp_path):
         resumable_extract(spark, pages_dir, out, cfg,
                           bucket_groups=4, fail_after_groups=2)
 
-    done_after_kill = completed_buckets(spark, ledger)
+    done_after_kill = completed_buckets(spark, ledger, BUCKETS)
     assert 0 < len(done_after_kill) < BUCKETS
 
     # run 2: resumes — must process ONLY the pending buckets
@@ -48,13 +48,20 @@ def test_kill_and_resume(spark, pages_dir, tmp_path):
     assert result.count() == N
     assert result.select("url").distinct().count() == N
 
-    # ledger lineage: per-bucket metrics present, rows_in == rows_out
+    # ledger lineage: per-bucket metrics present; rows_out counts only
+    # usable extracts, so rows_in - rows_out == n_errors per bucket (the
+    # quarantine volume — a dead rows_out ≡ rows_in was the r5 review find)
     ledger_df = spark.read.parquet(ledger)
     per_bucket = ledger_df.where(F.col("status") == "done")
     assert sorted(r["bucket"] for r in per_bucket.select("bucket").distinct().collect()) == list(range(BUCKETS))
-    bad = per_bucket.where(F.col("rows_in") != F.col("rows_out"))
+    bad = per_bucket.where(
+        F.col("rows_in") != F.col("rows_out") + F.col("n_errors")
+    )
     assert bad.count() == 0
+    # the fixture plants null-html pages, so quarantine really bites
+    assert per_bucket.agg(F.sum("n_errors")).first()[0] > 0
     assert per_bucket.where(F.col("kernel_version") != KERNEL_VERSION).count() == 0
+    assert per_bucket.where(F.col("salt_buckets") != BUCKETS).count() == 0
     # two distinct run_ids prove the resume (lineage across runs)
     assert ledger_df.select("run_id").distinct().count() == 2
 
@@ -202,3 +209,38 @@ def test_unsupported_config_raises(spark, pages_dir, tmp_path):
     # CANNOT_MODIFY_CONFIG at runtime), so the in-job guard only ever needs
     # to hold at session construction — assert the guarded invariant here
     assert spark.conf.get("spark.speculation", "false") == "false"
+
+
+def test_salt_bucket_change_invalidates_ledger(spark, pages_dir, tmp_path):
+    """A changed bucket count must force recomputation (r5 review):
+    bucket ids are only meaningful modulo the count they were hashed
+    with, so a mod-4 ledger consulted by a mod-8 run would silently
+    duplicate rows (and the reverse would no-op on a mis-laid-out
+    table). Same lineage rule as a kernel upgrade."""
+    out = str(tmp_path / "out_sb")
+    ledger = str(tmp_path / "ledger_sb")
+    s1 = resumable_extract(
+        spark, pages_dir, out,
+        ExtractConfig(salt_buckets=4, checkpoint_dir=ledger), bucket_groups=2,
+    )
+    assert s1["buckets_processed"] == 4
+
+    # same ledger, different bucket count → nothing counts as completed
+    s2 = resumable_extract(
+        spark, pages_dir, out,
+        ExtractConfig(salt_buckets=8, checkpoint_dir=ledger), bucket_groups=2,
+    )
+    assert s2["buckets_skipped"] == 0
+    assert s2["buckets_processed"] == 8
+
+    # the output was fully rewritten under the new bucketing: every url
+    # exactly once (no mixed-modulo duplicates)
+    result = spark.read.parquet(out)
+    assert result.select("url").distinct().count() == result.count()
+
+    # and the original count now resumes cleanly from its own rows
+    s3 = resumable_extract(
+        spark, pages_dir, out,
+        ExtractConfig(salt_buckets=4, checkpoint_dir=ledger), bucket_groups=2,
+    )
+    assert s3["buckets_processed"] == 0 and s3["buckets_skipped"] == 4
