@@ -40,13 +40,14 @@ _MODULES = (ops, pdftext, warc, links, streaming, bucketing, checkpoint,
 #: empty so nothing lands in the window implicitly). Composition, per
 #: VERDICT r4 #2 (name every rotation) and ADVICE r4 (headline-benched
 #: queries belong inside the window):
-#:   - 4 NEW queries (never driver-checked): curation_pipeline_e2e,
-#:     recrawl_e2e, classifier_train, cluster_keeper_staged;
+#:   - 8 NEW queries (never driver-checked): curation_pipeline_e2e,
+#:     recrawl_e2e, classifier_train, cluster_keeper_staged, semdedup,
+#:     domain_reputation, robots_txt_filter, split_leakage;
 #:   - 6 RETURNING headline-bench queries rotated back in from the tail
 #:     (each r2+r3 driver-green): dedup_exact, dedup_minhash_lsh,
 #:     ann_topk_bruteforce, token_count, quality_score, group_concat;
 #:   - flagship_extract + training_pipeline_e2e (headline, kept);
-#:   - the remaining 38 r4-green front entries, kept for a second
+#:   - the remaining 35 r4-green front entries, kept for a second
 #:     consecutive driver round.
 #: Rotated OUT to make room (each r4-green; all still swept by
 #: tests/test_oracle_parity.py and scripts/check_oracles.py):
@@ -56,13 +57,22 @@ _MODULES = (ops, pdftext, warc, links, streaming, bucketing, checkpoint,
 #:   bench), dedup_simhash_pairs + cluster_keeper (their chain runs
 #:   inside the in-window dedup_cc_clusters / cluster_keeper_staged),
 #:   decontaminate (runs inside the in-window training_pipeline_e2e),
-#:   crawl_delta (runs inside recrawl_e2e).
+#:   crawl_delta (runs inside recrawl_e2e); and — for the three queries
+#:   added mid-round-5 — pricing_summary, regional_revenue,
+#:   json_props_histogram (the relational trio: r4-green rows, code
+#:   untouched since, each a single-module query with no composition
+#:   partners that could drift), and sessionize (same rationale —
+#:   r4-green analytics singleton).
 _FRONT = [
     # new this round — must get their first driver row
     "curation_pipeline_e2e",
     "recrawl_e2e",
     "classifier_train",
     "cluster_keeper_staged",
+    "semdedup",
+    "domain_reputation",
+    "robots_txt_filter",
+    "split_leakage",
     # returning headline-bench queries (ADVICE r4)
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -74,13 +84,9 @@ _FRONT = [
     "flagship_extract",
     "training_pipeline_e2e",
     # r4-green front entries kept for a second consecutive round
-    "sessionize",
     "rollup_report",
     "stratified_sample",
     "topk_per_group",
-    "pricing_summary",
-    "regional_revenue",
-    "json_props_histogram",
     "multimodal_frame_sample",
     "host_length_rank",
     "dedup_paragraph",
@@ -120,6 +126,10 @@ _FRONT = [
 #: locally every round by the full-export parity sweep.
 _TAIL = [
     # rotated out this round (r4-green; rationale in the _FRONT note)
+    "pricing_summary",
+    "regional_revenue",
+    "json_props_histogram",
+    "sessionize",
     "run_metrics",
     "outlinks_pagerank",
     "stream_host_tracker",

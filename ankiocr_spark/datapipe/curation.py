@@ -1001,6 +1001,223 @@ FROM toks
 """
 
 
+# ---------------------------------------------------------------------------
+# Domain reputation — host-level quality gating (FineWeb-style)
+# ---------------------------------------------------------------------------
+
+#: reputation threshold: hosts scoring below are dropped wholesale.
+#: Calibrated on the fixture corpus: host reputations span 0.403-0.592
+#: at sf0.001 and 0.445-0.623 at sf0.01, so 0.55 splits the host set at
+#: both scales (7 kept / 4 dropped, then 5 / 6) with ≥ 0.005 clearance
+#: to the nearest score — float-compare-safe after the 6 dp rounding.
+REP_TAU = 0.55
+
+#: length half of the score saturates at this per-host average char count
+REP_CHARS_CAP = 400.0
+#: bad-token rate amplifier (rates are ~1e-2, the score axis is [0, 1])
+REP_BAD_AMP = 20.0
+
+
+def q_domain_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level reputation gate: aggregate cheap per-document signals
+    to ONE score per host, then gate every document by its host's score —
+    the domain-level filtering pass web-scale curation runs because
+    quality is strongly host-correlated (content farms are farms
+    everywhere): FineWeb/RefinedWeb both prune at the domain level before
+    per-document gates.
+
+    Exactness discipline: the per-host aggregation sums INTEGERS only
+    (docs, chars, tokens, bad-token hits) — order-independent across
+    partial aggregation — and the float score is computed once per host
+    row from those exact totals, then rounded (the signal_correlation
+    precedent). score = 0.5·min(1, avg_chars/cap) + 0.5·max(0, 1 −
+    amp·bad_rate).
+
+    Scale shape: ONE map-side-combined exchange to the host grain
+    (hosts ≪ docs), then the host verdicts broadcast back onto the
+    corpus — the corpus itself never shuffles. The verdict join's doc
+    branch re-scans the table, but column pruning cuts that branch to
+    the doc_id column alone (host derives from it): the expensive
+    text-tokenize pass runs exactly once, in the aggregate branch.
+    Reference analog:
+    AnkiOCR's per-deck scoping of which notes enter OCR
+    (`ocr.py:55-60`) — a container-level gate ahead of per-item work."""
+    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    host = F.concat(
+        F.lit("h"), (F.col("doc_id") % 11).cast("string"), F.lit(".example.org")
+    )
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    per_doc = docs.select(
+        "doc_id",
+        host.alias("host"),
+        F.col("n_chars"),
+        F.size(toks).cast("bigint").alias("n_toks"),
+        F.size(F.filter(toks, lambda x: x.isin(*BAD_WORDS)))
+        .cast("bigint")
+        .alias("n_bad"),
+    )
+    per_host = per_doc.groupBy("host").agg(
+        F.count("*").alias("host_docs"),
+        F.sum("n_chars").alias("_chars"),
+        F.sum("n_toks").alias("_toks"),
+        F.sum("n_bad").alias("_bad"),
+    )
+    avg_chars = F.col("_chars") / F.col("host_docs")
+    bad_rate = F.col("_bad") / F.col("_toks")
+    rep = F.round(
+        F.lit(0.5) * F.least(F.lit(1.0), avg_chars / F.lit(REP_CHARS_CAP))
+        + F.lit(0.5)
+        * F.greatest(F.lit(0.0), F.lit(1.0) - F.lit(REP_BAD_AMP) * bad_rate),
+        6,
+    )
+    verdicts = per_host.select(
+        "host", "host_docs", rep.alias("reputation"),
+        (rep >= F.lit(REP_TAU)).alias("host_kept"),
+    )
+    return per_doc.select("doc_id", "host").join(
+        F.broadcast(verdicts), "host"
+    ).select("doc_id", "host", "host_docs", "reputation", "host_kept")
+
+
+ORACLE_DOMAIN_REP = f"""
+WITH per_doc AS (
+  SELECT doc_id,
+         'h' || (doc_id % 11) || '.example.org' AS host,
+         n_chars,
+         len(list_filter(str_split(text, ' '), x -> x <> ''))::BIGINT AS n_toks,
+         len(list_filter(str_split(text, ' '),
+             x -> list_contains({_BAD_LIST}, x)))::BIGINT AS n_bad
+  FROM documents WHERE text IS NOT NULL),
+per_host AS (
+  SELECT host, count(*)::BIGINT AS host_docs,
+         sum(n_chars)::BIGINT AS chars,
+         sum(n_toks)::BIGINT AS toks,
+         sum(n_bad)::BIGINT AS bad
+  FROM per_doc GROUP BY host),
+verdicts AS (
+  SELECT host, host_docs,
+         round(0.5::DOUBLE * least(1.0::DOUBLE,
+                   (chars::DOUBLE / host_docs) / {REP_CHARS_CAP}::DOUBLE)
+             + 0.5::DOUBLE * greatest(0.0::DOUBLE,
+                   1.0::DOUBLE - {REP_BAD_AMP}::DOUBLE * (bad::DOUBLE / toks)),
+         6) AS reputation
+  FROM per_host)
+SELECT d.doc_id, d.host, v.host_docs, v.reputation,
+       v.reputation >= {REP_TAU}::DOUBLE AS host_kept
+FROM per_doc d JOIN verdicts v USING (host)
+"""
+
+
+# ---------------------------------------------------------------------------
+# robots.txt Disallow-path gate — crawl-side politeness filtering
+# ---------------------------------------------------------------------------
+
+
+def _robots_txt(k: int) -> str:
+    """Deterministic per-host robots.txt body (host h{k}): every third
+    host blocks a /private/ subtree plus the /doc/1 PREFIX (so docs 1,
+    10-19, 100-199... are disallowed there), the next third uses a
+    lowercase ``disallow:`` directive (RFC 9309 directive names are
+    case-insensitive — the parser must not miss it), and the rest emit an
+    EMPTY Disallow (the RFC's allow-all form, which must match nothing)."""
+    if k % 3 == 0:
+        return "User-agent: *\nDisallow: /private/\nDisallow: /doc/1"
+    if k % 3 == 1:
+        return "User-agent: *\nCrawl-delay: 5\ndisallow: /doc/7"
+    return "User-agent: *\nDisallow:"
+
+
+_ROBOTS_LINE_RE = "(?i)^disallow\\s*:\\s*(.*)$"
+
+
+def q_robots_txt_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt Disallow gate: parse each host's raw robots.txt body
+    IN-ENGINE (split lines → case-insensitive directive match → prefix
+    extraction, all codegen string ops), then drop every URL whose path
+    starts with a disallowed prefix — the politeness filter a crawl
+    pipeline applies before fetching ever reaches extraction. Complements
+    ``robots_policy`` (per-PAGE meta directives) with the per-HOST
+    robots.txt contract; prefix semantics per RFC 9309 (empty Disallow
+    matches nothing, directive names case-fold).
+
+    Scale shape: the parsed rules collapse to ONE row per host (an array
+    of disallow prefixes — metadata-sized: hosts × directives), which
+    BROADCASTS onto the url stream; the verdict is a higher-order
+    ``exists`` over the prefix array inside the same projection, so the
+    corpus side never shuffles at all (plan-asserted: no SortMergeJoin,
+    no corpus Exchange). The fixture synthesizes robots bodies
+    deterministically per host (`_robots_txt`) so both engines parse
+    identical inputs. Reference analog: AnkiOCR's pre-OCR exclusion
+    guard (`api.py:252-268`) — skip items policy forbids before paying
+    for them."""
+    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    host = F.concat(
+        F.lit("h"), (F.col("doc_id") % 11).cast("string"), F.lit(".example.org")
+    )
+    pages = docs.select(
+        "doc_id",
+        host.alias("host"),
+        F.concat(F.lit("/doc/"), F.col("doc_id").cast("string")).alias("path"),
+    )
+    robots = spark.createDataFrame(
+        [(f"h{k}.example.org", _robots_txt(k)) for k in range(11)],
+        "host string, robots string",
+    )
+    line = F.explode(F.split("robots", "\n")).alias("line")
+    rule_sets = (
+        robots.select("host", line)
+        .select(
+            "host",
+            F.trim(F.regexp_extract("line", _ROBOTS_LINE_RE, 1)).alias("prefix"),
+            F.col("line").rlike("(?i)^disallow\\s*:").alias("_is_disallow"),
+        )
+        .where(F.col("_is_disallow") & (F.col("prefix") != ""))
+        .groupBy("host")
+        .agg(F.collect_list("prefix").alias("prefixes"))
+    )
+    joined = pages.join(F.broadcast(rule_sets), "host", "left")
+    # collect_list order is nondeterministic — irrelevant: `exists` is
+    # order-independent over the prefix set
+    blocked = F.exists(
+        F.coalesce("prefixes", F.array().cast("array<string>")),
+        lambda p: F.col("path").startswith(p),
+    )
+    return joined.select(
+        "doc_id",
+        F.concat(F.lit("https://"), F.col("host"), F.col("path")).alias("url"),
+        "host",
+        (~blocked).alias("kept"),
+    )
+
+
+def _build_oracle_robots_txt() -> str:
+    def sql_body(k: int) -> str:
+        return "'" + _robots_txt(k).replace("\n", "' || chr(10) || '") + "'"
+
+    values = ", ".join(
+        f"('h{k}.example.org', {sql_body(k)})" for k in range(11)
+    )
+    return f"""
+WITH robots(host, robots) AS (VALUES {values}),
+rules AS (
+  SELECT host, trim(regexp_extract(line, '{_ROBOTS_LINE_RE}', 1)) AS prefix
+  FROM robots, unnest(str_split(robots, chr(10))) AS u(line)
+  WHERE regexp_matches(line, '(?i)^disallow\\s*:')
+    AND trim(regexp_extract(line, '{_ROBOTS_LINE_RE}', 1)) <> ''),
+rule_sets AS (SELECT host, list(prefix) AS prefixes FROM rules GROUP BY host),
+pages AS (
+  SELECT doc_id,
+         'h' || (doc_id % 11) || '.example.org' AS host,
+         '/doc/' || doc_id AS path
+  FROM documents WHERE text IS NOT NULL)
+SELECT p.doc_id, 'https://' || p.host || p.path AS url, p.host,
+       NOT coalesce(
+         len(list_filter(r.prefixes, x -> starts_with(p.path, x))) > 0,
+         false) AS kept
+FROM pages p LEFT JOIN rule_sets r USING (host)
+"""
+
+
 QUERIES = {
     "pii_redact": q_pii_redact,
     "robots_policy": q_robots_policy,
@@ -1013,6 +1230,8 @@ QUERIES = {
     "dsir_weight": q_dsir_weight,
     "c4_filter": q_c4_filter,
     "badwords_filter": q_badwords_filter,
+    "domain_reputation": q_domain_reputation,
+    "robots_txt_filter": q_robots_txt_filter,
 }
 
 ORACLE_SQL = {
@@ -1027,4 +1246,6 @@ ORACLE_SQL = {
     "dsir_weight": ORACLE_DSIR,
     "c4_filter": ORACLE_C4,
     "badwords_filter": ORACLE_BADWORDS,
+    "domain_reputation": ORACLE_DOMAIN_REP,
+    "robots_txt_filter": _build_oracle_robots_txt(),
 }

@@ -1,6 +1,7 @@
-"""Training-example assembly: GPT-style concat-and-chunk sequence packing
-and deterministic train/val/test split assignment — the two passes that
-turn a curated corpus into model-ready shards.
+"""Training-example assembly: GPT-style concat-and-chunk sequence packing,
+deterministic train/val/test split assignment, and the cross-split
+leakage audit — the passes that turn a curated corpus into model-ready
+shards and prove the held-out splits stayed clean.
 
 Reference analog: AnkiOCR assembles per-note OCR results into
 fixed-shape field writebacks in batches (`ocr.py` batch loop,
@@ -279,6 +280,126 @@ FROM d GROUP BY split
 """
 
 
+# --- cross-split leakage audit (train → val/test contamination) ---------------
+
+#: n-gram length for the leakage probe — same grain as benchmark
+#: decontamination (dedup.DECONTAM_NGRAM): long enough that chance
+#: collisions are negligible, short enough to catch shared passages.
+LEAK_NGRAM = 8
+
+#: deterministic planted leak: the raw fixture corpus has almost no
+#: natural cross-doc 8-gram overlap, so every LEAK_MOD-th doc gets a
+#: shared 8-token passage appended in-flight (the pii_redact injection
+#: pattern) — the md5 split scatters the slice across train AND val/test,
+#: so the audit must flag exactly the eval members of the slice.
+LEAK_MOD = 17
+LEAK_PHRASE = "leak probe alpha beta gamma delta epsilon zeta"
+
+
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split contamination audit: for every val/test document,
+    count the distinct ``LEAK_NGRAM``-grams it shares with ANY train
+    document — the check a training-set owner runs after
+    ``train_val_split`` to prove the held-out splits are clean (val
+    passages leaking into train silently inflate eval scores; Lee et al.
+    2022 found precisely this in standard benchmarks).
+
+    Scale shape (the ride-the-exchange discipline — Catalyst has no
+    cross-branch CSE, so separate train/eval shingle branches would scan
+    and TOKENIZE the corpus twice): the corpus shingles ONCE with the
+    split label attached, shuffles ONCE by shingle, and ``has_train``
+    rides that exchange as a shingle-partitioned window max; only the
+    flagged eval rows reach the tiny per-doc countDistinct. Unlike
+    ``decontaminate`` (tiny benchmark side → broadcast probe), both
+    sides here are corpus-scale, so this single shingle exchange IS the
+    honest contamination pass — at 10^12 docs it is the same stage the
+    MinHash signature shuffle already pays, and a bloom filter of the
+    val shingle set can pre-prune the stream before it. The shingle
+    rows carry (id, shingle, 3-byte split) only; `distinct=False` +
+    post-window `countDistinct` keeps per-doc set semantics without a
+    second shingle shuffle (the decontaminate ADVICE-r3 discipline).
+    Reference analog: AnkiOCR's "is this note already OCR'd" guard
+    (`api.py:252-268`) — here generalized to held-out-set hygiene."""
+    from ankiocr_spark.datapipe.dedup import shingles
+    from ankiocr_spark.hashing import hash60
+
+    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    injected = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % LEAK_MOD == 0,
+            F.concat(F.col("text"), F.lit(" " + LEAK_PHRASE)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    b = hash60(F.col("doc_id").cast("string")) % SPLIT_BUCKETS
+    split = (
+        F.when(b < TRAIN_LT, F.lit("train"))
+        .when(b < VAL_LT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    sh = shingles(injected, n=LEAK_NGRAM, distinct=False).withColumn(
+        "split", split
+    )
+    has_train = F.max((F.col("split") == "train").cast("int")).over(
+        Window.partitionBy("shingle")
+    )
+    hits = (
+        sh.withColumn("_ht", has_train)
+        .where((F.col("split") != "train") & (F.col("_ht") == 1))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("shingle").alias("n_leaked"))
+    )
+    ev_docs = injected.select("doc_id", split.alias("split")).where(
+        F.col("split") != "train"
+    )
+    n_leaked = F.coalesce("n_leaked", F.lit(0).cast("bigint"))
+    return ev_docs.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "split",
+        n_leaked.alias("n_leaked"),
+        (n_leaked > 0).alias("leaked"),
+    )
+
+
+def _build_oracle_split_leakage() -> str:
+    from ankiocr_spark.datapipe.dedup import _ngram_sql
+
+    return f"""
+WITH raw AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {LEAK_MOD} = 0
+              THEN text || ' {LEAK_PHRASE}' ELSE text END AS text
+  FROM documents WHERE text IS NOT NULL),
+tok AS (SELECT doc_id, str_split(text, ' ') AS t FROM raw),
+sh AS ({_ngram_sql(LEAK_NGRAM)} FROM tok),
+lab AS (
+  SELECT doc_id,
+         CASE WHEN b < {TRAIN_LT} THEN 'train'
+              WHEN b < {VAL_LT} THEN 'val'
+              ELSE 'test' END AS split
+  FROM (
+    SELECT doc_id,
+           (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT)
+             % {SPLIT_BUCKETS} AS b
+    FROM raw)),
+flagged AS (
+  SELECT s.doc_id, s.shingle, l.split,
+         max(CASE WHEN l.split = 'train' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY s.shingle) AS ht
+  FROM sh s JOIN lab l USING (doc_id)),
+hits AS (
+  SELECT doc_id, count(DISTINCT shingle)::BIGINT AS n_leaked
+  FROM flagged WHERE split <> 'train' AND ht = 1 GROUP BY doc_id)
+SELECT l.doc_id, l.split,
+       coalesce(h.n_leaked, 0)::BIGINT AS n_leaked,
+       coalesce(h.n_leaked, 0) > 0 AS leaked
+FROM lab l LEFT JOIN hits h USING (doc_id)
+WHERE l.split <> 'train'
+"""
+
+
 #: retrieval-chunking geometry: 32-token windows advancing 24 tokens
 #: (8-token overlap) — sized so fixture docs (10-99 tokens) yield 1-4
 #: chunks and every code path (single short chunk, truncated tail,
@@ -359,10 +480,12 @@ QUERIES = {
     "seq_pack": q_seq_pack,
     "rag_chunk": q_rag_chunk,
     "train_val_split": q_train_val_split,
+    "split_leakage": q_split_leakage,
 }
 
 ORACLE_SQL = {
     "seq_pack": ORACLE_SEQ_PACK,
     "rag_chunk": ORACLE_RAG_CHUNK,
     "train_val_split": ORACLE_TRAIN_VAL_SPLIT,
+    "split_leakage": _build_oracle_split_leakage(),
 }

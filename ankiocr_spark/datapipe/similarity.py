@@ -394,6 +394,154 @@ SELECT query_id, rank, neighbor_id, cosine FROM topk WHERE rank <= {TOP_K}
 """
 
 
+# --- SemDeDup: semantic dedup inside embedding clusters -----------------------
+
+#: intra-cluster cosine above which two documents are semantic duplicates.
+#: Calibrated on the synthetic corpus: intra-cell pairs peak at ~0.49 with
+#: p99 ≈ 0.32, so 0.35 marks the genuine near-dup tail (~64 of ~15.6k
+#: intra-cell pairs at sf0.01) while leaving most of every cluster intact.
+SEMDEDUP_TAU = 0.35
+
+
+def _ivf_cells(emb: DataFrame) -> DataFrame:
+    """(vec_id, emb, cell, cc): every vector assigned to its argmax-cosine
+    pseudo-centroid (the IVF coarse quantizer — same K fixed centroids as
+    ``q_ann_ivf_topk``), with ``cc`` = rounded cosine to the assigned
+    centroid. Broadcast centroids → K-row amplification then a per-vector
+    window reduce; never a cross product."""
+    cents = F.broadcast(
+        emb.where(
+            (F.col("vec_id") >= CENTROID_LO)
+            & (F.col("vec_id") < CENTROID_LO + IVF_K)
+        ).select(F.col("vec_id").alias("cent_id"), F.col("emb").alias("c_emb"))
+    )
+    scored = emb.crossJoin(cents).select(
+        "vec_id", "emb", "cent_id", _cos(F.col("emb"), F.col("c_emb")).alias("cc")
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cc").desc(), F.col("cent_id").asc()
+    )
+    return (
+        scored.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") == 1)
+        .select("vec_id", "emb", F.col("cent_id").alias("cell"), "cc")
+    )
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by embedding — cluster the corpus with a coarse
+    quantizer, then inside each cluster drop documents whose cosine to
+    another cluster member exceeds ``SEMDEDUP_TAU``, keeping the member
+    FARTHEST from the centroid (the paper's keep-low-centroid-similarity
+    rule, which preserved the most diversity in their ablations).
+
+    Drop rule (deterministic, one-pass): member b is dropped iff some
+    same-cell member a has cos(a,b) ≥ τ and higher keep-priority, where
+    priority orders by (cc asc, vec_id asc). This is the parallel
+    relaxation of the paper's sequential greedy: no two KEPT members are
+    ever τ-close (any such pair marks its lower-priority side dropped),
+    and the priority-minimum of every cluster always survives; it may
+    drop slightly MORE than sequential greedy when a dominator is itself
+    dropped — conservative in the right direction for dedup, and
+    order-independent so both engines compute it bit-identically.
+
+    Scale shape: cell assignment is a broadcast probe (O(K) per vector);
+    the pair join is an equi-join on ``cell``, so its cost is
+    Σ|cell|² — the paper's own cost model, controlled by choosing
+    K ∝ corpus size so cells stay O(1) (their LAION run uses 50k
+    clusters). The verdict aggregation exchanges carry only (id, id)
+    longs; embeddings ride a shuffle once (into the cell join).
+    Reference analog: AnkiOCR dedups at the exact-text level
+    (collection.find_notes in src/anki_ocr/ocr.py:55-60 scopes one batch);
+    this is the embedding-space generalization a 10^12-doc corpus needs."""
+    emb = _load_emb(spark, sf_dir)
+    # the cell table feeds THREE consumers (both pair-join sides + the
+    # verdict join); the branches differ by alias so neither Catalyst CSE
+    # nor AQE stage reuse dedupes them — materialize the assignment once
+    # (localCheckpoint, the dedup_cc_clusters pattern) instead of running
+    # the broadcast-quantizer window three times. Production stages this
+    # artifact to a table anyway (the cluster_keeper_staged pattern).
+    cells = _ivf_cells(emb).localCheckpoint()
+    a = cells.select(
+        F.col("cell"),
+        F.col("vec_id").alias("va"),
+        F.col("emb").alias("ea"),
+        F.col("cc").alias("cca"),
+    )
+    b = cells.select(
+        F.col("cell"),
+        F.col("vec_id").alias("vb"),
+        F.col("emb").alias("eb"),
+        F.col("cc").alias("ccb"),
+    )
+    dup_pairs = (
+        a.join(b, "cell")
+        .where(F.col("va") < F.col("vb"))
+        .select(
+            "va", "vb", "cca", "ccb",
+            _cos(F.col("ea"), F.col("eb")).alias("cos"),
+        )
+        .where(F.col("cos") >= SEMDEDUP_TAU)
+    )
+    # per τ-close pair, the LOWER-priority side is dropped (keep-farthest)
+    dropped = dup_pairs.select(
+        F.when(
+            (F.col("cca") < F.col("ccb"))
+            | ((F.col("cca") == F.col("ccb")) & (F.col("va") < F.col("vb"))),
+            F.col("vb"),
+        )
+        .otherwise(F.col("va"))
+        .alias("vec_id")
+    ).distinct()
+    return (
+        cells.join(
+            dropped.withColumn("is_dup", F.lit(True)), "vec_id", "left"
+        )
+        .select(
+            "vec_id",
+            "cell",
+            "cc",
+            F.coalesce("is_dup", F.lit(False)).alias("dropped"),
+        )
+    )
+
+
+ORACLE_SEMDEDUP = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+cents AS (
+  SELECT vec_id AS cent_id, emb AS c_emb FROM e
+  WHERE vec_id >= {CENTROID_LO} AND vec_id < {CENTROID_LO + IVF_K}),
+scored AS (
+  SELECT e.vec_id, e.emb, c.cent_id,
+         round(list_sum(list_transform(list_zip(e.emb, c.c_emb), x -> x[1] * x[2]))
+               / (sqrt(list_sum(list_transform(e.emb, x -> x * x)))
+                * sqrt(list_sum(list_transform(c.c_emb, x -> x * x)))),
+         6) AS cc
+  FROM e, cents c),
+cells AS (
+  SELECT vec_id, emb, cent_id AS cell, cc FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cc DESC, cent_id ASC) AS r
+    FROM scored) WHERE r = 1),
+dup_pairs AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb, a.cc AS cca, b.cc AS ccb,
+         round(list_sum(list_transform(list_zip(a.emb, b.emb), x -> x[1] * x[2]))
+               / (sqrt(list_sum(list_transform(a.emb, x -> x * x)))
+                * sqrt(list_sum(list_transform(b.emb, x -> x * x)))),
+         6) AS cos
+  FROM cells a JOIN cells b USING (cell)
+  WHERE a.vec_id < b.vec_id),
+dropped AS (
+  SELECT DISTINCT CASE WHEN cca < ccb OR (cca = ccb AND va < vb)
+                       THEN vb ELSE va END AS vec_id
+  FROM dup_pairs WHERE cos >= {SEMDEDUP_TAU})
+SELECT c.vec_id, c.cell, c.cc,
+       (d.vec_id IS NOT NULL) AS dropped
+FROM cells c LEFT JOIN dropped d ON c.vec_id = d.vec_id
+"""
+
+
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN quality evaluation: recall@k of the IVF index against the
     exact brute-force ground truth, per query — the measurement that
@@ -564,6 +712,7 @@ QUERIES = {
     "ann_lsh_buckets": q_ann_lsh_buckets,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_recall": q_ann_recall,
+    "semdedup": q_semdedup,
 }
 
 ORACLE_SQL = {
@@ -573,4 +722,5 @@ ORACLE_SQL = {
     "ann_lsh_buckets": ORACLE_ANN_LSH,
     "ann_ivf_topk": ORACLE_ANN_IVF,
     "ann_recall": ORACLE_ANN_RECALL,
+    "semdedup": ORACLE_SEMDEDUP,
 }

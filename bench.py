@@ -73,6 +73,10 @@ SECONDARY = [
     "classifier_train",
     "recrawl_e2e",
     "curation_pipeline_e2e",
+    "semdedup",
+    "domain_reputation",
+    "robots_txt_filter",
+    "split_leakage",
 ]
 
 

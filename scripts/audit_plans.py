@@ -93,6 +93,10 @@ AUDIT = [
     "recrawl_e2e",
     "curation_pipeline_e2e",
     "cluster_keeper_staged",
+    "semdedup",
+    "domain_reputation",
+    "robots_txt_filter",
+    "split_leakage",
 ]
 
 #: caveats rendered under the flags line — mostly for iterative queries,
@@ -194,6 +198,16 @@ NOTES = {
         "precomputed band-key table, so the per-crawl work is the new "
         "side's band projection + an equi-join. The bucket-size cap window "
         "runs over the reference band table, not the corpus."
+    ),
+    "semdedup": (
+        "The cell-assignment table is localCheckpoint-materialized (it "
+        "feeds both pair-join sides plus the verdict join, and the "
+        "alias-renamed branches defeat CSE/stage-reuse), so the printed "
+        "plan reads Scan ExistingRDD: the broadcast-quantizer window ran "
+        "exactly once at checkpoint time; the executed work on top is one "
+        "equi-join on cell + one distinct + one left join, all over the "
+        "materialized assignment. Production stages this artifact to a "
+        "table (the cluster_keeper_staged pattern)."
     ),
 }
 

@@ -467,3 +467,92 @@ def test_badwords_counts_match_python(spark, sf_dir):
         assert got[doc_id] == (len(toks), n_bad, n_bad == 0)
     # the gate must actually bite on the fixture corpus
     assert 0 < hits < len(got)
+
+
+def test_domain_reputation_exact_and_broadcast(spark, sf_dir):
+    """Reputation is one verdict per host, recomputed exactly from integer
+    totals driver-side (tolerance 1e-6 absorbs the HALF_UP-vs-banker's
+    rounding edge); the gate must split the host set, and the verdict
+    join back onto the corpus must be broadcast (no SortMergeJoin)."""
+    from ankiocr_spark.datapipe.curation import (
+        BAD_WORDS, REP_BAD_AMP, REP_CHARS_CAP, REP_TAU, q_domain_reputation,
+    )
+
+    df = q_domain_reputation(spark, sf_dir)
+    rows = df.collect()
+    verdicts = {(r["host"], r["reputation"], r["host_kept"]) for r in rows}
+    assert len(verdicts) == len({r["host"] for r in rows})  # constant per host
+    kept_hosts = {h for h, _, k in verdicts if k}
+    assert kept_hosts and len(kept_hosts) < len(verdicts)  # the gate splits
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    agg = {}
+    for d in docs:
+        if d["text"] is None:
+            continue
+        host = f"h{d['doc_id'] % 11}.example.org"
+        toks = [t for t in d["text"].split(" ") if t != ""]
+        n, c, t, b = agg.get(host, (0, 0, 0, 0))
+        agg[host] = (
+            n + 1, c + d["n_chars"], t + len(toks),
+            b + sum(1 for x in toks if x in BAD_WORDS),
+        )
+    for r in rows:
+        n, c, t, b = agg[r["host"]]
+        rep = 0.5 * min(1.0, (c / n) / REP_CHARS_CAP) + 0.5 * max(
+            0.0, 1.0 - REP_BAD_AMP * (b / t)
+        )
+        assert abs(r["reputation"] - rep) <= 1e-6, (r["host"], rep)
+        assert r["host_kept"] == (r["reputation"] >= REP_TAU)
+        assert r["host_docs"] == n
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_robots_txt_filter_matches_python_and_never_shuffles_corpus(
+    spark, sf_dir
+):
+    """The in-engine robots.txt parse must agree with a from-scratch
+    python parse of the same bodies (including the lowercase `disallow:`
+    directive and the RFC 9309 empty-Disallow allow-all), and the verdict
+    join must be broadcast — the corpus side never shuffles."""
+    from ankiocr_spark.datapipe.curation import (
+        _robots_txt, q_robots_txt_filter,
+    )
+
+    df = q_robots_txt_filter(spark, sf_dir)
+    got = {r["doc_id"]: r for r in df.collect()}
+
+    import re
+
+    rules = {}
+    for k in range(11):
+        prefixes = []
+        for line in _robots_txt(k).split("\n"):
+            m = re.match(r"(?i)^disallow\s*:\s*(.*)$", line)
+            if m and m.group(1).strip():
+                prefixes.append(m.group(1).strip())
+        rules[f"h{k}.example.org"] = prefixes
+
+    blocked_by_lowercase = 0
+    for doc_id, r in got.items():
+        path = f"/doc/{doc_id}"
+        expect_kept = not any(
+            path.startswith(p) for p in rules[r["host"]]
+        )
+        assert r["kept"] == expect_kept, (doc_id, r["host"])
+        assert r["url"] == f"https://{r['host']}{path}"
+        if not r["kept"] and (doc_id % 11) % 3 == 1:
+            blocked_by_lowercase += 1
+    # the case-insensitive directive parse really bites
+    assert blocked_by_lowercase > 0
+    # empty-Disallow hosts (k % 3 == 2) never block
+    assert all(
+        r["kept"] for r in got.values() if (r["doc_id"] % 11) % 3 == 2
+    )
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan

@@ -136,3 +136,61 @@ def test_crossdedup_drops_exact_cross_parity_copies(spark, sf_dir):
     for r in out.values():
         assert r["doc_id"] % 2 == 1
         assert r["dropped"] == (r["n_ref_matches"] > 0)
+
+
+def test_split_leakage_matches_python_recompute(spark, sf_dir):
+    """Full from-scratch recompute of the leakage audit: python rebuilds
+    the md5 split, the planted-leak injection, the 8-gram sets, and the
+    train-probe — the engine's report must match row-for-row. Also
+    asserts the planted slice really leaks (every val/test member of the
+    LEAK_MOD slice is flagged, given the slice straddles train)."""
+    import hashlib
+
+    from ankiocr_spark.datapipe.packing import (
+        LEAK_MOD, LEAK_NGRAM, LEAK_PHRASE, SPLIT_BUCKETS, TRAIN_LT, VAL_LT,
+        q_split_leakage,
+    )
+
+    got = {r["doc_id"]: r for r in q_split_leakage(spark, sf_dir).collect()}
+
+    def split_of(doc_id):
+        b = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16) % SPLIT_BUCKETS
+        return "train" if b < TRAIN_LT else ("val" if b < VAL_LT else "test")
+
+    def grams(text):
+        toks = text.split(" ")
+        if len(toks) >= LEAK_NGRAM:
+            return {
+                " ".join(toks[i:i + LEAK_NGRAM])
+                for i in range(len(toks) - LEAK_NGRAM + 1)
+            }
+        return {text}
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    train_set, evals = set(), {}
+    slice_in_train = False
+    for d in docs:
+        if d["text"] is None:
+            continue
+        text = d["text"]
+        if d["doc_id"] % LEAK_MOD == 0:
+            text = text + " " + LEAK_PHRASE
+        s = split_of(d["doc_id"])
+        if s == "train":
+            train_set |= grams(text)
+            slice_in_train |= d["doc_id"] % LEAK_MOD == 0
+        else:
+            evals[d["doc_id"]] = (s, grams(text))
+
+    assert slice_in_train  # the planted leak really straddles the split
+    assert set(got) == set(evals)
+    n_flagged = 0
+    for doc_id, (s, g) in evals.items():
+        n_leaked = len(g & train_set)
+        r = got[doc_id]
+        assert r["split"] == s and r["n_leaked"] == n_leaked, doc_id
+        assert r["leaked"] == (n_leaked > 0)
+        if doc_id % LEAK_MOD == 0:
+            assert r["leaked"], doc_id  # every eval slice member is caught
+            n_flagged += 1
+    assert n_flagged > 0
