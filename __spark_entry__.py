@@ -40,9 +40,10 @@ _MODULES = (ops, pdftext, warc, links, streaming, bucketing, checkpoint,
 #: empty so nothing lands in the window implicitly). Composition, per
 #: VERDICT r4 #2 (name every rotation) and ADVICE r4 (headline-benched
 #: queries belong inside the window):
-#:   - 8 NEW queries (never driver-checked): curation_pipeline_e2e,
+#:   - 9 NEW queries (never driver-checked): curation_pipeline_e2e,
 #:     recrawl_e2e, classifier_train, cluster_keeper_staged, semdedup,
-#:     domain_reputation, robots_txt_filter, split_leakage;
+#:     domain_reputation, robots_txt_filter, split_leakage,
+#:     crawl_schedule;
 #:   - 6 RETURNING headline-bench queries rotated back in from the tail
 #:     (each r2+r3 driver-green): dedup_exact, dedup_minhash_lsh,
 #:     ann_topk_bruteforce, token_count, quality_score, group_concat;
@@ -61,8 +62,8 @@ _MODULES = (ops, pdftext, warc, links, streaming, bucketing, checkpoint,
 #:   added mid-round-5 — pricing_summary, regional_revenue,
 #:   json_props_histogram (the relational trio: r4-green rows, code
 #:   untouched since, each a single-module query with no composition
-#:   partners that could drift), and sessionize (same rationale —
-#:   r4-green analytics singleton).
+#:   partners that could drift), plus sessionize and rollup_report (same
+#:   rationale — r4-green analytics singletons).
 _FRONT = [
     # new this round — must get their first driver row
     "curation_pipeline_e2e",
@@ -73,6 +74,7 @@ _FRONT = [
     "domain_reputation",
     "robots_txt_filter",
     "split_leakage",
+    "crawl_schedule",
     # returning headline-bench queries (ADVICE r4)
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -84,7 +86,6 @@ _FRONT = [
     "flagship_extract",
     "training_pipeline_e2e",
     # r4-green front entries kept for a second consecutive round
-    "rollup_report",
     "stratified_sample",
     "topk_per_group",
     "multimodal_frame_sample",
@@ -130,6 +131,7 @@ _TAIL = [
     "regional_revenue",
     "json_props_histogram",
     "sessionize",
+    "rollup_report",
     "run_metrics",
     "outlinks_pagerank",
     "stream_host_tracker",

@@ -1218,6 +1218,100 @@ FROM pages p LEFT JOIN rule_sets r USING (host)
 """
 
 
+# ---------------------------------------------------------------------------
+# crawl-frontier scheduling — politeness-rate fetch-slot assignment
+# ---------------------------------------------------------------------------
+
+#: default inter-fetch delay for hosts whose robots.txt sets none
+CRAWL_DEFAULT_DELAY_MS = 1000
+
+_CRAWL_DELAY_RE = "(?i)^crawl-delay\\s*:\\s*([0-9]+)"
+
+
+def q_crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness-aware frontier scheduling: assign every crawlable URL a
+    per-host fetch slot and an earliest fetch time that respects the
+    host's robots.txt ``Crawl-delay`` (parsed in-engine from the same
+    bodies as `robots_txt_filter`; RFC 9309 leaves the directive
+    nonstandard-but-ubiquitous, default ``CRAWL_DEFAULT_DELAY_MS``).
+    Disallowed URLs never enter the schedule — the query composes the
+    robots gate. fetch_ms = slot × delay_ms stays in integers (no float
+    time arithmetic), so the schedule is engine-exact.
+
+    Scale shape: the delay table is one row per host (broadcast, like
+    the prefix rules), and the slot assignment is ONE window exchange
+    partitioned by host — the natural frontier partitioning, since a
+    crawler's work queue is per-host serialized by politeness anyway.
+    Host skew is inherent (giant hosts have giant queues) but bounded by
+    the crawl budget: production caps slots per host per cycle
+    (slot < budget → fetch now, else deferred to the next cycle) — the
+    cap is a WHERE on the already-computed slot, not a new stage.
+    Reference analog: AnkiOCR's batch loop paces OCR work in
+    fixed-size batches (`ocr.py` batch loop); this is that pacing
+    generalized to per-host rate limits."""
+    gated = q_robots_txt_filter(spark, sf_dir).where(F.col("kept"))
+    robots = spark.createDataFrame(
+        [(f"h{k}.example.org", _robots_txt(k)) for k in range(11)],
+        "host string, robots string",
+    )
+    line = F.explode(F.split("robots", "\n")).alias("line")
+    delay = (
+        robots.select("host", line)
+        .select(
+            "host",
+            F.regexp_extract("line", _CRAWL_DELAY_RE, 1).alias("_d"),
+        )
+        .groupBy("host")
+        .agg(F.max(F.col("_d")).alias("_d"))  # '' sorts below any digits
+        .select(
+            "host",
+            F.when(F.col("_d") == "", F.lit(CRAWL_DEFAULT_DELAY_MS))
+            .otherwise(F.col("_d").cast("bigint") * 1000)
+            .alias("delay_ms"),
+        )
+    )
+    w = Window.partitionBy("host").orderBy("doc_id")
+    return (
+        gated.join(F.broadcast(delay), "host")
+        .select(
+            "doc_id",
+            "host",
+            (F.row_number().over(w) - 1).alias("slot"),
+            "delay_ms",
+        )
+        .withColumn("fetch_ms", F.col("slot") * F.col("delay_ms"))
+    )
+
+
+def _build_oracle_crawl_schedule() -> str:
+    def sql_body(k: int) -> str:
+        return "'" + _robots_txt(k).replace("\n", "' || chr(10) || '") + "'"
+
+    values = ", ".join(
+        f"('h{k}.example.org', {sql_body(k)})" for k in range(11)
+    )
+    return f"""
+WITH gated AS (SELECT doc_id, host FROM ({_build_oracle_robots_txt()}) WHERE kept),
+robots(host, robots) AS (VALUES {values}),
+delay AS (
+  SELECT host,
+         CASE WHEN max(d) = '' THEN {CRAWL_DEFAULT_DELAY_MS}
+              ELSE max(d)::BIGINT * 1000 END AS delay_ms
+  FROM (
+    SELECT host, regexp_extract(line, '{_CRAWL_DELAY_RE}', 1) AS d
+    FROM robots, unnest(str_split(robots, chr(10))) AS u(line))
+  GROUP BY host),
+slots AS (
+  SELECT g.doc_id, g.host,
+         (row_number() OVER (PARTITION BY g.host ORDER BY g.doc_id) - 1)
+           ::BIGINT AS slot,
+         d.delay_ms
+  FROM gated g JOIN delay d USING (host))
+SELECT doc_id, host, slot, delay_ms, (slot * delay_ms)::BIGINT AS fetch_ms
+FROM slots
+"""
+
+
 QUERIES = {
     "pii_redact": q_pii_redact,
     "robots_policy": q_robots_policy,
@@ -1232,6 +1326,7 @@ QUERIES = {
     "badwords_filter": q_badwords_filter,
     "domain_reputation": q_domain_reputation,
     "robots_txt_filter": q_robots_txt_filter,
+    "crawl_schedule": q_crawl_schedule,
 }
 
 ORACLE_SQL = {
@@ -1248,4 +1343,5 @@ ORACLE_SQL = {
     "badwords_filter": ORACLE_BADWORDS,
     "domain_reputation": ORACLE_DOMAIN_REP,
     "robots_txt_filter": _build_oracle_robots_txt(),
+    "crawl_schedule": _build_oracle_crawl_schedule(),
 }

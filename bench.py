@@ -77,6 +77,7 @@ SECONDARY = [
     "domain_reputation",
     "robots_txt_filter",
     "split_leakage",
+    "crawl_schedule",
 ]
 
 

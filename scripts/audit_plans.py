@@ -97,6 +97,7 @@ AUDIT = [
     "domain_reputation",
     "robots_txt_filter",
     "split_leakage",
+    "crawl_schedule",
 ]
 
 #: caveats rendered under the flags line — mostly for iterative queries,

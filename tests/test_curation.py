@@ -556,3 +556,36 @@ def test_robots_txt_filter_matches_python_and_never_shuffles_corpus(
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_crawl_schedule_politeness_invariants(spark, sf_dir):
+    """The frontier schedule must (a) contain exactly the robots-allowed
+    urls, (b) assign each host a contiguous 0..n-1 slot sequence in
+    doc_id order, (c) honor the parsed Crawl-delay (5 s on the k%3==1
+    hosts, the 1 s default elsewhere), and (d) keep fetch_ms = slot *
+    delay_ms — i.e. no two fetches on one host closer than its delay."""
+    from ankiocr_spark.datapipe.curation import (
+        CRAWL_DEFAULT_DELAY_MS, q_crawl_schedule, q_robots_txt_filter,
+    )
+
+    sched = q_crawl_schedule(spark, sf_dir).collect()
+    allowed = {
+        r["doc_id"] for r in q_robots_txt_filter(spark, sf_dir).collect()
+        if r["kept"]
+    }
+    assert {r["doc_id"] for r in sched} == allowed
+
+    by_host = {}
+    for r in sched:
+        by_host.setdefault(r["host"], []).append(r)
+    assert len(by_host) == 11
+    for host, rows in by_host.items():
+        k = int(host.split(".")[0][1:])
+        want_delay = 5000 if k % 3 == 1 else CRAWL_DEFAULT_DELAY_MS
+        rows.sort(key=lambda r: r["doc_id"])
+        for slot, r in enumerate(rows):
+            assert r["slot"] == slot, (host, r)
+            assert r["delay_ms"] == want_delay, (host, r)
+            assert r["fetch_ms"] == slot * want_delay
+        times = sorted(r["fetch_ms"] for r in rows)
+        assert all(b - a >= want_delay for a, b in zip(times, times[1:]))
