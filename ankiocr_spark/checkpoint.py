@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .config import ExtractConfig
-from .job import EXTRACT_SCHEMA
+from .job import EXTRACT_SCHEMA, bucket_col
 from .kernel import KERNEL_VERSION
 
 LEDGER_SCHEMA = (
@@ -49,8 +49,15 @@ LEDGER_SCHEMA = (
 
 
 def read_ledger(spark: SparkSession, ledger_dir: str) -> Optional[DataFrame]:
+    # explicit schema, never inference: a ledger written before a column
+    # existed (e.g. pre-salt_buckets files) must read as NULLs in that
+    # column — which the lineage filters treat as not-completed, i.e. the
+    # intended invalidation — not crash with UNRESOLVED_COLUMN, and a
+    # directory of mixed-generation files must not pick an arbitrary
+    # file's schema (r5 review find, reproduced: resume against an
+    # 11-column ledger aborted instead of recomputing)
     try:
-        return spark.read.parquet(ledger_dir)
+        return spark.read.schema(LEDGER_SCHEMA).parquet(ledger_dir)
     except Exception:
         return None  # first run — no ledger yet
 
@@ -59,29 +66,57 @@ def completed_buckets(
     spark: SparkSession, ledger_dir: str, salt_buckets: int
 ) -> List[int]:
     """Buckets already extracted by the CURRENT kernel version under the
-    SAME bucket count. ``salt_buckets`` is lineage exactly like
-    ``kernel_version`` (r5 review find): bucket ids are only meaningful
-    modulo the count they were hashed with, so resuming a mod-8 ledger
-    with salt_buckets=32 must invalidate it (full recompute) — otherwise
-    the output mixes two incompatible bucketings: a url whose
-    xxhash64%32 lands in a 'new' bucket would be recomputed NEXT TO its
-    old mod-8 partition (duplicate rows), while the reverse direction
-    would no-op on a table whose layout never matches the requested
-    config."""
+    SAME bucket count — counting only rows from the CURRENT LAYOUT EPOCH.
+    ``salt_buckets`` is lineage exactly like ``kernel_version`` (r5
+    review find): bucket ids are only meaningful modulo the count they
+    were hashed with, so resuming a mod-8 ledger with salt_buckets=32
+    must invalidate it (full recompute) — otherwise the output mixes two
+    incompatible bucketings. The epoch rule closes the A→B→A hole the
+    per-row filter alone leaves open (r5 review find): after runs at
+    count A then count B, the on-disk layout is B's, so A's old 'done'
+    rows must NOT satisfy a new count-A resume — only rows appended
+    AFTER the last row of any different count reflect the current
+    layout. The ledger is metadata-sized, so the epoch scan is a
+    driver-side pass over collected rows."""
     ledger = read_ledger(spark, ledger_dir)
     if ledger is None:
         return []
     rows = (
-        ledger.where(
-            (F.col("status") == "done")
-            & (F.col("kernel_version") == KERNEL_VERSION)
-            & (F.col("salt_buckets") == salt_buckets)
-        )
-        .select("bucket")
-        .distinct()
+        ledger.where(F.col("status") == "done")
+        .select("kernel_version", "salt_buckets", "bucket", "finished")
         .collect()
     )
-    return sorted(r["bucket"] for r in rows)
+    rows.sort(key=lambda r: r["finished"])
+    done: set = set()
+    for r in rows:
+        if r["salt_buckets"] != salt_buckets:
+            # a different-layout run happened after everything collected
+            # so far — everything before it describes a dead layout
+            done.clear()
+            continue
+        if r["kernel_version"] == KERNEL_VERSION:
+            done.add(r["bucket"])
+    return sorted(done)
+
+
+def _clear_stale_bucket_partitions(output_path: str, salt_buckets: int) -> None:
+    """Remove output partitions outside ``range(salt_buckets)``. Dynamic
+    partition overwrite only replaces the partitions a run writes, so
+    SHRINKING the bucket count would otherwise leave the old
+    higher-numbered partitions in place next to the rewritten 0..n-1
+    range — every url they hold would then appear twice in the table
+    (r5 review find, reproduced: 8→4 rerun read 302 rows for 200 urls).
+    Local-filesystem implementation; on a real cluster this is the
+    catalog's ALTER TABLE DROP PARTITION over the same predicate."""
+    import re
+    import shutil
+
+    if not os.path.isdir(output_path):
+        return
+    for name in os.listdir(output_path):
+        m = re.fullmatch(r"bucket=(\d+)", name)
+        if m and int(m.group(1)) >= salt_buckets:
+            shutil.rmtree(os.path.join(output_path, name), ignore_errors=True)
 
 
 def _append_ledger(spark: SparkSession, ledger_dir: str, rows: Sequence[tuple]) -> None:
@@ -211,8 +246,10 @@ def resumable_extract(
     all_buckets = list(range(cfg.salt_buckets))
     done = set(completed_buckets(spark, ledger_dir, cfg.salt_buckets))
     pending = [b for b in all_buckets if b not in done]
-
-    from .job import bucket_col
+    # layout hygiene BEFORE any write: partitions numbered past the
+    # current count belong to an older (larger) bucketing that dynamic
+    # overwrite would never touch — duplicates-in-waiting (see helper)
+    _clear_stale_bucket_partitions(output_path, cfg.salt_buckets)
 
     pages = spark.read.parquet(input_path)
     if cfg.lang_filter:

@@ -1063,7 +1063,13 @@ def q_domain_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_bad").alias("_bad"),
     )
     avg_chars = F.col("_chars") / F.col("host_docs")
-    bad_rate = F.col("_bad") / F.col("_toks")
+    # zero-token guard (r5 review): a host of empty-but-non-null texts
+    # has _toks = 0; an unguarded division yields NULL, whose handling
+    # differs across engines (Spark `greatest` skips nulls, DuckDB
+    # versions vary) — treat no-token hosts as bad_rate 0 in BOTH
+    bad_rate = F.when(F.col("_toks") == 0, F.lit(0.0)).otherwise(
+        F.col("_bad") / F.col("_toks")
+    )
     rep = F.round(
         F.lit(0.5) * F.least(F.lit(1.0), avg_chars / F.lit(REP_CHARS_CAP))
         + F.lit(0.5)
@@ -1099,7 +1105,9 @@ verdicts AS (
          round(0.5::DOUBLE * least(1.0::DOUBLE,
                    (chars::DOUBLE / host_docs) / {REP_CHARS_CAP}::DOUBLE)
              + 0.5::DOUBLE * greatest(0.0::DOUBLE,
-                   1.0::DOUBLE - {REP_BAD_AMP}::DOUBLE * (bad::DOUBLE / toks)),
+                   1.0::DOUBLE - {REP_BAD_AMP}::DOUBLE
+                     * (CASE WHEN toks = 0 THEN 0.0::DOUBLE
+                             ELSE bad::DOUBLE / toks END)),
          6) AS reputation
   FROM per_host)
 SELECT d.doc_id, d.host, v.host_docs, v.reputation,
@@ -1118,16 +1126,45 @@ def _robots_txt(k: int) -> str:
     host blocks a /private/ subtree plus the /doc/1 PREFIX (so docs 1,
     10-19, 100-199... are disallowed there), the next third uses a
     lowercase ``disallow:`` directive (RFC 9309 directive names are
-    case-insensitive — the parser must not miss it), and the rest emit an
-    EMPTY Disallow (the RFC's allow-all form, which must match nothing)."""
+    case-insensitive — the parser must not miss it) plus TWO Crawl-delay
+    lines ('10' then '5', the real-world user-agent-split shape) whose
+    effective delay must be the NUMERIC max 10 — a lexicographic string
+    max picks '5' (r5 review find) — and the rest emit an EMPTY Disallow
+    (the RFC's allow-all form, which must match nothing)."""
     if k % 3 == 0:
         return "User-agent: *\nDisallow: /private/\nDisallow: /doc/1"
     if k % 3 == 1:
-        return "User-agent: *\nCrawl-delay: 5\ndisallow: /doc/7"
+        return (
+            "User-agent: *\nCrawl-delay: 10\nCrawl-delay: 5"
+            "\ndisallow: /doc/7"
+        )
     return "User-agent: *\nDisallow:"
 
 
 _ROBOTS_LINE_RE = "(?i)^disallow\\s*:\\s*(.*)$"
+
+
+def _robots_df(spark: SparkSession) -> DataFrame:
+    """The (host, robots.txt body) fixture relation — built in exactly one
+    place so the Spark queries and the SQL oracles (via
+    ``_ROBOTS_VALUES_SQL``) can never drift (r5 review: the literal was
+    inlined four times)."""
+    return spark.createDataFrame(
+        [(f"h{k}.example.org", _robots_txt(k)) for k in range(11)],
+        "host string, robots string",
+    )
+
+
+def _robots_values_sql() -> str:
+    """The same fixture as a DuckDB VALUES list (newlines embedded via
+    chr(10) so the SQL string stays single-line)."""
+    def body(k: int) -> str:
+        return "'" + _robots_txt(k).replace("\n", "' || chr(10) || '") + "'"
+
+    return ", ".join(f"('h{k}.example.org', {body(k)})" for k in range(11))
+
+
+_ROBOTS_VALUES_SQL = _robots_values_sql()
 
 
 def q_robots_txt_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1159,13 +1196,9 @@ def q_robots_txt_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         host.alias("host"),
         F.concat(F.lit("/doc/"), F.col("doc_id").cast("string")).alias("path"),
     )
-    robots = spark.createDataFrame(
-        [(f"h{k}.example.org", _robots_txt(k)) for k in range(11)],
-        "host string, robots string",
-    )
     line = F.explode(F.split("robots", "\n")).alias("line")
     rule_sets = (
-        robots.select("host", line)
+        _robots_df(spark).select("host", line)
         .select(
             "host",
             F.trim(F.regexp_extract("line", _ROBOTS_LINE_RE, 1)).alias("prefix"),
@@ -1191,14 +1224,8 @@ def q_robots_txt_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _build_oracle_robots_txt() -> str:
-    def sql_body(k: int) -> str:
-        return "'" + _robots_txt(k).replace("\n", "' || chr(10) || '") + "'"
-
-    values = ", ".join(
-        f"('h{k}.example.org', {sql_body(k)})" for k in range(11)
-    )
     return f"""
-WITH robots(host, robots) AS (VALUES {values}),
+WITH robots(host, robots) AS (VALUES {_ROBOTS_VALUES_SQL}),
 rules AS (
   SELECT host, trim(regexp_extract(line, '{_ROBOTS_LINE_RE}', 1)) AS prefix
   FROM robots, unnest(str_split(robots, chr(10))) AS u(line)
@@ -1250,24 +1277,29 @@ def q_crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-size batches (`ocr.py` batch loop); this is that pacing
     generalized to per-host rate limits."""
     gated = q_robots_txt_filter(spark, sf_dir).where(F.col("kept"))
-    robots = spark.createDataFrame(
-        [(f"h{k}.example.org", _robots_txt(k)) for k in range(11)],
-        "host string, robots string",
-    )
     line = F.explode(F.split("robots", "\n")).alias("line")
+    # NUMERIC max, never a string max (r5 review: lexicographic max picks
+    # '5' over '10' when a real-world user-agent-split file carries two
+    # Crawl-delay lines — and the oracle would have replicated the same
+    # wrong math, the bug class parity checks can't catch). Non-directive
+    # lines map to NULL, which max() skips; a host with no directive
+    # yields NULL → the default.
     delay = (
-        robots.select("host", line)
+        _robots_df(spark).select("host", line)
         .select(
             "host",
-            F.regexp_extract("line", _CRAWL_DELAY_RE, 1).alias("_d"),
+            F.when(
+                F.col("line").rlike(_CRAWL_DELAY_RE),
+                F.regexp_extract("line", _CRAWL_DELAY_RE, 1).cast("bigint"),
+            ).alias("_d"),
         )
         .groupBy("host")
-        .agg(F.max(F.col("_d")).alias("_d"))  # '' sorts below any digits
+        .agg(F.max(F.col("_d")).alias("_d"))
         .select(
             "host",
-            F.when(F.col("_d") == "", F.lit(CRAWL_DEFAULT_DELAY_MS))
-            .otherwise(F.col("_d").cast("bigint") * 1000)
-            .alias("delay_ms"),
+            F.coalesce(
+                F.col("_d") * 1000, F.lit(CRAWL_DEFAULT_DELAY_MS).cast("bigint")
+            ).alias("delay_ms"),
         )
     )
     w = Window.partitionBy("host").orderBy("doc_id")
@@ -1284,21 +1316,17 @@ def q_crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _build_oracle_crawl_schedule() -> str:
-    def sql_body(k: int) -> str:
-        return "'" + _robots_txt(k).replace("\n", "' || chr(10) || '") + "'"
-
-    values = ", ".join(
-        f"('h{k}.example.org', {sql_body(k)})" for k in range(11)
-    )
     return f"""
 WITH gated AS (SELECT doc_id, host FROM ({_build_oracle_robots_txt()}) WHERE kept),
-robots(host, robots) AS (VALUES {values}),
+robots(host, robots) AS (VALUES {_ROBOTS_VALUES_SQL}),
 delay AS (
   SELECT host,
-         CASE WHEN max(d) = '' THEN {CRAWL_DEFAULT_DELAY_MS}
-              ELSE max(d)::BIGINT * 1000 END AS delay_ms
+         coalesce(max(d) * 1000, {CRAWL_DEFAULT_DELAY_MS}::BIGINT) AS delay_ms
   FROM (
-    SELECT host, regexp_extract(line, '{_CRAWL_DELAY_RE}', 1) AS d
+    SELECT host,
+           CASE WHEN regexp_matches(line, '{_CRAWL_DELAY_RE}')
+                THEN regexp_extract(line, '{_CRAWL_DELAY_RE}', 1)::BIGINT
+           END AS d
     FROM robots, unnest(str_split(robots, chr(10))) AS u(line))
   GROUP BY host),
 slots AS (

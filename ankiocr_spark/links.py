@@ -309,24 +309,42 @@ SELECT node, round(rank, 8) AS pagerank FROM r{PR_ITERS}
 _DEFAULT_PORTS = {"http": "80", "https": "443"}
 
 
-def host_col(u) -> "F.Column":
-    """Crawl host of a URL as a pure codegen expression: case-folded,
-    port-stripped (IPv6 bracket authorities kept whole — the ADVICE r3
-    rule below), tolerant of uppercase schemes and of urls with no path
-    ('https://example.org'). This is the per-host bucketing key the
-    streaming stats/state operators group on (r5 review: their ad-hoc
-    ``^[a-z]+://([^/]+)/`` regex sent uppercase-scheme, slashless, and
-    ported urls to host '' / distinct keys); sharing the parsing rules
-    with ``normalize_url_col`` keeps every host key in the engine
-    identical."""
+#: THE authority-extraction regex — one definition for host_col AND
+#: normalize_url_col so the streaming host key and the canonical-url host
+#: can never diverge on the same record (r5 review: host_col's first cut
+#: restricted the scheme to RFC-valid ``[A-Za-z][A-Za-z0-9+.-]*`` while
+#: normalize_url_col accepted any ``[^:/?#]+`` — a corrupt-scheme crawl
+#: url like '1http://x.org/p' then produced host 'x.org' in one and ''
+#: in the other, exactly the degenerate-key split the helper exists to
+#: prevent)
+_AUTHORITY_RE = r"^[^:/?#]+://([^/?#]*)"
+
+
+def _host_of_hostport(hostport) -> "F.Column":
+    """Case-folded host of an authority: IPv6 bracket groups kept whole
+    (ADVICE r3 — splitting '[2001:db8::1]:8443' on ':' collapsed every
+    IPv6 url to host '['), unbracketed authorities split host:port."""
     from pyspark.sql import functions as F
 
-    hostport = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)", 1)
     bracket = F.regexp_extract(hostport, r"^(\[[^\]]*\])", 1)
     return F.lower(
         F.when(bracket != "", bracket)
         .otherwise(F.split(hostport, ":", 2).getItem(0))
     )
+
+
+def host_col(u) -> "F.Column":
+    """Crawl host of a URL as a pure codegen expression: case-folded,
+    port-stripped, IPv6-safe, tolerant of uppercase schemes and of urls
+    with no path ('https://example.org'). This is the per-host bucketing
+    key the streaming stats/state operators group on (r5 review: their
+    ad-hoc ``^[a-z]+://([^/]+)/`` regex sent uppercase-scheme, slashless,
+    and ported urls to host '' / distinct keys); built from the SAME
+    ``_AUTHORITY_RE``/``_host_of_hostport`` pair as ``normalize_url_col``
+    so every host key in the engine is identical."""
+    from pyspark.sql import functions as F
+
+    return _host_of_hostport(F.regexp_extract(u, _AUTHORITY_RE, 1))
 
 
 def normalize_url_col(u) -> "F.Column":
@@ -346,12 +364,8 @@ def normalize_url_col(u) -> "F.Column":
 
     nofrag = F.split(u, "#", 2).getItem(0)
     scheme = F.lower(F.regexp_extract(nofrag, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
-    hostport = F.regexp_extract(nofrag, r"^[^:/?#]+://([^/?#]*)", 1)
-    bracket_host = F.regexp_extract(hostport, r"^(\[[^\]]*\])", 1)
-    host = F.lower(
-        F.when(bracket_host != "", bracket_host)
-        .otherwise(F.split(hostport, ":", 2).getItem(0))
-    )
+    hostport = F.regexp_extract(nofrag, _AUTHORITY_RE, 1)
+    host = _host_of_hostport(hostport)
     port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
     default_port = F.when(
         scheme == "http", F.lit(_DEFAULT_PORTS["http"])

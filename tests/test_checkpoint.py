@@ -214,9 +214,15 @@ def test_unsupported_config_raises(spark, pages_dir, tmp_path):
 def test_salt_bucket_change_invalidates_ledger(spark, pages_dir, tmp_path):
     """A changed bucket count must force recomputation (r5 review):
     bucket ids are only meaningful modulo the count they were hashed
-    with, so a mod-4 ledger consulted by a mod-8 run would silently
-    duplicate rows (and the reverse would no-op on a mis-laid-out
-    table). Same lineage rule as a kernel upgrade."""
+    with. Three holes this covers, each a live-reproduced review find:
+    grow (mod-4 ledger consulted by a mod-8 run would duplicate rows),
+    A→B→A (the first A-epoch's 'done' rows must NOT satisfy a new A run
+    after B rewrote the layout — epoch rule), and shrink (dynamic
+    overwrite never touches partitions numbered past the new count, so
+    they must be cleared explicitly or every url they hold appears
+    twice)."""
+    import os
+
     out = str(tmp_path / "out_sb")
     ledger = str(tmp_path / "ledger_sb")
     s1 = resumable_extract(
@@ -225,22 +231,72 @@ def test_salt_bucket_change_invalidates_ledger(spark, pages_dir, tmp_path):
     )
     assert s1["buckets_processed"] == 4
 
-    # same ledger, different bucket count → nothing counts as completed
+    # grow: same ledger, larger count → nothing counts as completed
     s2 = resumable_extract(
         spark, pages_dir, out,
         ExtractConfig(salt_buckets=8, checkpoint_dir=ledger), bucket_groups=2,
     )
     assert s2["buckets_skipped"] == 0
     assert s2["buckets_processed"] == 8
-
-    # the output was fully rewritten under the new bucketing: every url
-    # exactly once (no mixed-modulo duplicates)
     result = spark.read.parquet(out)
-    assert result.select("url").distinct().count() == result.count()
+    assert result.count() == N
+    assert result.select("url").distinct().count() == N
 
-    # and the original count now resumes cleanly from its own rows
+    # A→B→A: the table on disk is mod-8 now, so the ORIGINAL count must
+    # fully recompute too — its old epoch's ledger rows are dead (a
+    # skip-everything 'resume' here was the review's third find) — and
+    # the shrink must clear partitions bucket=4..7, or their urls would
+    # double next to the rewritten mod-4 layout
     s3 = resumable_extract(
         spark, pages_dir, out,
         ExtractConfig(salt_buckets=4, checkpoint_dir=ledger), bucket_groups=2,
     )
-    assert s3["buckets_processed"] == 0 and s3["buckets_skipped"] == 4
+    assert s3["buckets_skipped"] == 0
+    assert s3["buckets_processed"] == 4
+    stale = [
+        d for d in os.listdir(out)
+        if d.startswith("bucket=") and int(d.split("=")[1]) >= 4
+    ]
+    assert stale == []
+    result = spark.read.parquet(out)
+    assert result.count() == N
+    assert result.select("url").distinct().count() == N
+    assert result.select("bucket").distinct().count() == 4
+
+    # and a genuine same-count resume still no-ops (the epoch rule must
+    # not over-invalidate)
+    s4 = resumable_extract(
+        spark, pages_dir, out,
+        ExtractConfig(salt_buckets=4, checkpoint_dir=ledger), bucket_groups=2,
+    )
+    assert s4["buckets_processed"] == 0 and s4["buckets_skipped"] == 4
+
+
+def test_pre_upgrade_ledger_reads_as_invalidated(spark, pages_dir, tmp_path):
+    """A ledger written BEFORE the salt_buckets column existed must read
+    as not-completed (NULL column under the explicit schema → full
+    recompute), never crash with UNRESOLVED_COLUMN (r5 review find)."""
+    import datetime as dt
+
+    ledger = str(tmp_path / "old_ledger")
+    old_schema = (
+        "run_id string, kernel_version string, bucket int, status string, "
+        "rows_in long, rows_out long, n_errors long, n_empty long, "
+        "bytes_in long, started timestamp, finished timestamp"
+    )
+    now = dt.datetime.now()
+    spark.createDataFrame(
+        [("old", KERNEL_VERSION, b, "done", 10, 10, 0, 0, 100, now, now)
+         for b in range(4)],
+        old_schema,
+    ).write.parquet(ledger)
+
+    assert completed_buckets(spark, ledger, 4) == []
+
+    # and a real run over that directory resumes into a full recompute
+    out = str(tmp_path / "out_old")
+    s = resumable_extract(
+        spark, pages_dir, out,
+        ExtractConfig(salt_buckets=4, checkpoint_dir=ledger), bucket_groups=2,
+    )
+    assert s["buckets_processed"] == 4 and s["buckets_skipped"] == 0

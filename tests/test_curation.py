@@ -561,8 +561,10 @@ def test_robots_txt_filter_matches_python_and_never_shuffles_corpus(
 def test_crawl_schedule_politeness_invariants(spark, sf_dir):
     """The frontier schedule must (a) contain exactly the robots-allowed
     urls, (b) assign each host a contiguous 0..n-1 slot sequence in
-    doc_id order, (c) honor the parsed Crawl-delay (5 s on the k%3==1
-    hosts, the 1 s default elsewhere), and (d) keep fetch_ms = slot *
+    doc_id order, (c) honor the parsed Crawl-delay as a NUMERIC
+    max — the k%3==1 hosts carry two directives ('10' then '5'; a
+    string max picks 5, the r5 review find) so their delay is 10 s,
+    1 s default elsewhere, and (d) keep fetch_ms = slot *
     delay_ms — i.e. no two fetches on one host closer than its delay."""
     from ankiocr_spark.datapipe.curation import (
         CRAWL_DEFAULT_DELAY_MS, q_crawl_schedule, q_robots_txt_filter,
@@ -581,7 +583,7 @@ def test_crawl_schedule_politeness_invariants(spark, sf_dir):
     assert len(by_host) == 11
     for host, rows in by_host.items():
         k = int(host.split(".")[0][1:])
-        want_delay = 5000 if k % 3 == 1 else CRAWL_DEFAULT_DELAY_MS
+        want_delay = 10000 if k % 3 == 1 else CRAWL_DEFAULT_DELAY_MS
         rows.sort(key=lambda r: r["doc_id"])
         for slot, r in enumerate(rows):
             assert r["slot"] == slot, (host, r)
