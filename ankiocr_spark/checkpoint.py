@@ -62,41 +62,67 @@ def read_ledger(spark: SparkSession, ledger_dir: str) -> Optional[DataFrame]:
         return None  # first run — no ledger yet
 
 
-def completed_buckets(
-    spark: SparkSession, ledger_dir: str, salt_buckets: int
-) -> List[int]:
-    """Buckets already extracted by the CURRENT kernel version under the
-    SAME bucket count — counting only rows from the CURRENT LAYOUT EPOCH.
-    ``salt_buckets`` is lineage exactly like ``kernel_version`` (r5
-    review find): bucket ids are only meaningful modulo the count they
-    were hashed with, so resuming a mod-8 ledger with salt_buckets=32
-    must invalidate it (full recompute) — otherwise the output mixes two
-    incompatible bucketings. The epoch rule closes the A→B→A hole the
-    per-row filter alone leaves open (r5 review find): after runs at
-    count A then count B, the on-disk layout is B's, so A's old 'done'
-    rows must NOT satisfy a new count-A resume — only rows appended
-    AFTER the last row of any different count reflect the current
-    layout. The ledger is metadata-sized, so the epoch scan is a
-    driver-side pass over collected rows."""
+def _epoch_rows(spark: SparkSession, ledger_dir: str) -> list:
+    """ALL ledger rows (done + markers), time-ordered. Rows whose
+    ``finished`` reads NULL (older-generation files under the explicit
+    schema) sort to the FRONT — they describe an unknown epoch, so
+    anything after them decides, and they themselves can never count as
+    current (never-crash rule: a weird old ledger invalidates, it does
+    not abort the resume)."""
     ledger = read_ledger(spark, ledger_dir)
     if ledger is None:
         return []
-    rows = (
-        ledger.where(F.col("status") == "done")
-        .select("kernel_version", "salt_buckets", "bucket", "finished")
-        .collect()
-    )
-    rows.sort(key=lambda r: r["finished"])
+    rows = ledger.select(
+        "kernel_version", "salt_buckets", "bucket", "status", "finished"
+    ).collect()
+    rows.sort(key=lambda r: (r["finished"] is not None, r["finished"] or _dt.datetime.min))
+    return rows
+
+
+def completed_buckets(
+    spark: SparkSession, ledger_dir: str, salt_buckets: int
+) -> List[int]:
+    """Buckets already extracted under the CURRENT EPOCH — epoch key =
+    (kernel_version, salt_buckets), both lineage (r5 review finds):
+    bucket ids are only meaningful modulo the count they were hashed
+    with, and extracts are only current under the kernel that produced
+    them. The epoch rule (any row — 'done' OR 'layout' marker — with a
+    different key clears everything collected so far) closes the A→B→A
+    holes the per-row filter alone leaves open, for BOTH dimensions:
+    after runs at count/kernel A then B, the on-disk table is B's, so
+    A's old 'done' rows must not satisfy a new A resume; only rows
+    appended after the last different-epoch row reflect the current
+    table. The ledger is metadata-sized, so the scan is a driver-side
+    pass over collected rows."""
     done: set = set()
-    for r in rows:
-        if r["salt_buckets"] != salt_buckets:
-            # a different-layout run happened after everything collected
+    for r in _epoch_rows(spark, ledger_dir):
+        if (
+            r["salt_buckets"] != salt_buckets
+            or r["kernel_version"] != KERNEL_VERSION
+        ):
+            # a different-epoch run happened after everything collected
             # so far — everything before it describes a dead layout
             done.clear()
             continue
-        if r["kernel_version"] == KERNEL_VERSION:
+        if r["status"] == "done":
             done.add(r["bucket"])
     return sorted(done)
+
+
+def _needs_epoch_marker(
+    spark: SparkSession, ledger_dir: str, salt_buckets: int
+) -> bool:
+    """True when the ledger's LAST row (if any) carries a different epoch
+    key than the current run — i.e. the coming run will be the first to
+    mutate the table under this (kernel, count)."""
+    rows = _epoch_rows(spark, ledger_dir)
+    if not rows:
+        return False  # nothing to invalidate yet
+    last = rows[-1]
+    return (
+        last["salt_buckets"] != salt_buckets
+        or last["kernel_version"] != KERNEL_VERSION
+    )
 
 
 def _clear_stale_bucket_partitions(output_path: str, salt_buckets: int) -> None:
@@ -106,6 +132,9 @@ def _clear_stale_bucket_partitions(output_path: str, salt_buckets: int) -> None:
     higher-numbered partitions in place next to the rewritten 0..n-1
     range — every url they hold would then appear twice in the table
     (r5 review find, reproduced: 8→4 rerun read 302 rows for 200 urls).
+    A failed delete RAISES (review find #2: ignore_errors would leave
+    the duplicate partition in place and still mark the bucket done —
+    the exact corruption this helper exists to prevent, silently).
     Local-filesystem implementation; on a real cluster this is the
     catalog's ALTER TABLE DROP PARTITION over the same predicate."""
     import re
@@ -116,7 +145,7 @@ def _clear_stale_bucket_partitions(output_path: str, salt_buckets: int) -> None:
     for name in os.listdir(output_path):
         m = re.fullmatch(r"bucket=(\d+)", name)
         if m and int(m.group(1)) >= salt_buckets:
-            shutil.rmtree(os.path.join(output_path, name), ignore_errors=True)
+            shutil.rmtree(os.path.join(output_path, name))
 
 
 def _append_ledger(spark: SparkSession, ledger_dir: str, rows: Sequence[tuple]) -> None:
@@ -246,6 +275,20 @@ def resumable_extract(
     all_buckets = list(range(cfg.salt_buckets))
     done = set(completed_buckets(spark, ledger_dir, cfg.salt_buckets))
     pending = [b for b in all_buckets if b not in done]
+    # CRASH-SAFE epoch transition (review find #2 on the first epoch
+    # cut): the marker row records the new (kernel, count) BEFORE any
+    # destructive action — partition clearing below, group writes later.
+    # Without it, a run that dies between mutating the table and its
+    # first per-group ledger append leaves the PREVIOUS epoch's 'done'
+    # rows as the ledger's tail, and a revert to that epoch would skip
+    # everything over a half-mutated table. With the marker, any such
+    # revert sees a different-epoch tail row and recomputes fully.
+    if _needs_epoch_marker(spark, ledger_dir, cfg.salt_buckets):
+        now = _dt.datetime.now()
+        _append_ledger(spark, ledger_dir, [
+            (run_id, KERNEL_VERSION, cfg.salt_buckets, -1, "layout",
+             0, 0, 0, 0, 0, now, now)
+        ])
     # layout hygiene BEFORE any write: partitions numbered past the
     # current count belong to an older (larger) bucketing that dynamic
     # overwrite would never touch — duplicates-in-waiting (see helper)

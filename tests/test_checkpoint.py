@@ -300,3 +300,90 @@ def test_pre_upgrade_ledger_reads_as_invalidated(spark, pages_dir, tmp_path):
         ExtractConfig(salt_buckets=4, checkpoint_dir=ledger), bucket_groups=2,
     )
     assert s["buckets_processed"] == 4 and s["buckets_skipped"] == 0
+
+
+def test_epoch_marker_protects_crash_window(spark, pages_dir, tmp_path):
+    """Crash-safety of the epoch transition (review find): a run under a
+    NEW bucket count writes its 'layout' marker row BEFORE clearing
+    partitions or writing groups. If it then dies before its first
+    per-group ledger append, a revert to the OLD count must see the
+    marker as the ledger tail and recompute fully — without the marker
+    the old count's 'done' rows would still be the tail and the revert
+    would skip everything over a half-mutated table (here: partitions
+    4..7 already deleted by the crashed shrink)."""
+    import datetime as dt
+
+    from ankiocr_spark.checkpoint import (
+        _append_ledger,
+        _clear_stale_bucket_partitions,
+    )
+
+    out = str(tmp_path / "out_cw")
+    ledger = str(tmp_path / "ledger_cw")
+    s1 = resumable_extract(
+        spark, pages_dir, out,
+        ExtractConfig(salt_buckets=8, checkpoint_dir=ledger), bucket_groups=2,
+    )
+    assert s1["buckets_processed"] == 8
+
+    # simulate a shrink-to-4 run that died right after its destructive
+    # prologue (marker + stale-partition clear), before any group write
+    now = dt.datetime.now()
+    _append_ledger(spark, ledger, [
+        ("crashed", KERNEL_VERSION, 4, -1, "layout", 0, 0, 0, 0, 0, now, now)
+    ])
+    _clear_stale_bucket_partitions(out, 4)
+    assert completed_buckets(spark, ledger, 8) == []  # marker invalidates
+
+    # revert to 8: must be a FULL recompute (skipping would report
+    # success over a table missing partitions 4..7)
+    s2 = resumable_extract(
+        spark, pages_dir, out,
+        ExtractConfig(salt_buckets=8, checkpoint_dir=ledger), bucket_groups=2,
+    )
+    assert s2["buckets_skipped"] == 0 and s2["buckets_processed"] == 8
+    result = spark.read.parquet(out)
+    assert result.count() == N
+    assert result.select("url").distinct().count() == N
+    assert result.select("bucket").distinct().count() == 8
+
+
+def test_kernel_rollback_invalidates_ledger(spark, pages_dir, tmp_path):
+    """kernel_version gets the SAME epoch rule as the bucket count
+    (review find: v1→v2→v1 rollback previously resumed as fully done
+    against v2-produced output): after a full run under a different
+    kernel, a resume under the current kernel must recompute even though
+    the ledger still holds current-kernel 'done' rows from before."""
+    import datetime as dt
+
+    from ankiocr_spark.checkpoint import _append_ledger
+
+    out = str(tmp_path / "out_kr")
+    ledger = str(tmp_path / "ledger_kr")
+    s1 = resumable_extract(
+        spark, pages_dir, out,
+        ExtractConfig(salt_buckets=4, checkpoint_dir=ledger), bucket_groups=2,
+    )
+    assert s1["buckets_processed"] == 4
+
+    # forge a LATER full run by a different kernel (the v2 deploy)
+    now = dt.datetime.now()
+    _append_ledger(spark, ledger, [
+        ("v2run", "ffffffffffff", 4, b, "done", 10, 10, 0, 0, 100, now, now)
+        for b in range(4)
+    ])
+
+    # rollback resume under the current kernel: the v2 tail must clear
+    # the earlier current-kernel rows → full recompute
+    assert completed_buckets(spark, ledger, 4) == []
+    s2 = resumable_extract(
+        spark, pages_dir, out,
+        ExtractConfig(salt_buckets=4, checkpoint_dir=ledger), bucket_groups=2,
+    )
+    assert s2["buckets_skipped"] == 0 and s2["buckets_processed"] == 4
+    # and the rollback run's rows re-validate the ledger for a no-op next
+    s3 = resumable_extract(
+        spark, pages_dir, out,
+        ExtractConfig(salt_buckets=4, checkpoint_dir=ledger), bucket_groups=2,
+    )
+    assert s3["buckets_processed"] == 0 and s3["buckets_skipped"] == 4

@@ -499,8 +499,9 @@ def test_domain_reputation_exact_and_broadcast(spark, sf_dir):
         )
     for r in rows:
         n, c, t, b = agg[r["host"]]
+        bad_rate = 0.0 if t == 0 else b / t  # same guard as the engines
         rep = 0.5 * min(1.0, (c / n) / REP_CHARS_CAP) + 0.5 * max(
-            0.0, 1.0 - REP_BAD_AMP * (b / t)
+            0.0, 1.0 - REP_BAD_AMP * bad_rate
         )
         assert abs(r["reputation"] - rep) <= 1e-6, (r["host"], rep)
         assert r["host_kept"] == (r["reputation"] >= REP_TAU)
@@ -591,3 +592,35 @@ def test_crawl_schedule_politeness_invariants(spark, sf_dir):
             assert r["fetch_ms"] == slot * want_delay
         times = sorted(r["fetch_ms"] for r in rows)
         assert all(b - a >= want_delay for a, b in zip(times, times[1:]))
+
+
+def test_domain_reputation_zero_token_host(spark, tmp_path):
+    """The zero-token guard must actually fire (review find: the fixture
+    corpus never exercises it): a host whose documents are all
+    empty-but-non-null text has a 0 token sum — its bad_rate is defined
+    as 0, so reputation = 0.5·len_part + 0.5, never NULL and never an
+    engine-divergent null-vs-skip greatest()."""
+    from ankiocr_spark.datapipe.curation import (
+        REP_CHARS_CAP, q_domain_reputation,
+    )
+
+    rows = []
+    for doc_id in range(22):
+        if doc_id % 11 == 0:  # host h0: empty texts only
+            rows.append((doc_id, "", "en", "web", 0))
+        else:
+            rows.append((doc_id, "plain words here", "en", "web", 16))
+    d = str(tmp_path / "zt")
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(f"{d}/documents.parquet")
+
+    got = {r["host"]: r for r in q_domain_reputation(spark, d).collect()}
+    h0 = got["h0.example.org"]
+    assert h0["reputation"] is not None
+    # chars sum 0 → len part 0; bad_rate defined 0 → content part 0.5
+    assert abs(h0["reputation"] - 0.5) <= 1e-9
+    # other hosts score above the degenerate one (len part > 0)
+    assert all(
+        r["reputation"] > 0.5 for h, r in got.items() if h != "h0.example.org"
+    )
