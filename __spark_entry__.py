@@ -40,10 +40,10 @@ _MODULES = (ops, pdftext, warc, links, streaming, bucketing, checkpoint,
 #: empty so nothing lands in the window implicitly). Composition, per
 #: VERDICT r4 #2 (name every rotation) and ADVICE r4 (headline-benched
 #: queries belong inside the window):
-#:   - 9 NEW queries (never driver-checked): curation_pipeline_e2e,
+#:   - 10 NEW queries (never driver-checked): curation_pipeline_e2e,
 #:     recrawl_e2e, classifier_train, cluster_keeper_staged, semdedup,
 #:     domain_reputation, robots_txt_filter, split_leakage,
-#:     crawl_schedule;
+#:     crawl_schedule, zipf_alpha;
 #:   - 6 RETURNING headline-bench queries rotated back in from the tail
 #:     (each r2+r3 driver-green): dedup_exact, dedup_minhash_lsh,
 #:     ann_topk_bruteforce, token_count, quality_score, group_concat;
@@ -62,8 +62,8 @@ _MODULES = (ops, pdftext, warc, links, streaming, bucketing, checkpoint,
 #:   added mid-round-5 — pricing_summary, regional_revenue,
 #:   json_props_histogram (the relational trio: r4-green rows, code
 #:   untouched since, each a single-module query with no composition
-#:   partners that could drift), plus sessionize and rollup_report (same
-#:   rationale — r4-green analytics singletons).
+#:   partners that could drift), plus sessionize, rollup_report and
+#:   stratified_sample (same rationale — r4-green analytics singletons).
 _FRONT = [
     # new this round — must get their first driver row
     "curation_pipeline_e2e",
@@ -75,6 +75,7 @@ _FRONT = [
     "robots_txt_filter",
     "split_leakage",
     "crawl_schedule",
+    "zipf_alpha",
     # returning headline-bench queries (ADVICE r4)
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -86,7 +87,6 @@ _FRONT = [
     "flagship_extract",
     "training_pipeline_e2e",
     # r4-green front entries kept for a second consecutive round
-    "stratified_sample",
     "topk_per_group",
     "multimodal_frame_sample",
     "host_length_rank",
@@ -132,6 +132,7 @@ _TAIL = [
     "json_props_histogram",
     "sessionize",
     "rollup_report",
+    "stratified_sample",
     "run_metrics",
     "outlinks_pagerank",
     "stream_host_tracker",

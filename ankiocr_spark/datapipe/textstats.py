@@ -153,6 +153,95 @@ LIMIT {VOCAB_TOP_N}
 """
 
 
+# --- Zipf power-law fit (corpus-health / tokenizer diagnostics) ----------------
+
+#: head size for the Zipf fit: power laws are fit on the frequency HEAD
+#: (the tail is where Zipf breaks down and where counts are noisy);
+#: bounded, so the rank window below runs over ≤ this many rows.
+ZIPF_TOP = 200
+
+#: log quantization grain — micro-nats as BIGINT (the token_entropy
+#: discipline): JVM Math.log and DuckDB libm ln() agree to ~1 ulp
+#: (~1e-15 absolute), so after ×1e6 the values differ by ~1e-9 and the
+#: integer rounding can only disagree within 1e-9 of a .5 boundary —
+#: negligible over a few hundred values; every MOMENT sum is then an
+#: exact integer in both engines, and float math runs once on the
+#: one-row moment relation (the signal_correlation recipe).
+_ZIPF_Q = 1_000_000
+
+
+def q_zipf_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf power-law fit over the corpus token-frequency head: least-
+    squares slope of ln(freq) against ln(rank) for the top ``ZIPF_TOP``
+    tokens — natural text runs alpha ≈ 1 (Zipf 1949), and the fitted
+    exponent is a standard corpus-health / tokenizer diagnostic (a
+    too-flat head means boilerplate or dedup failure; a too-steep one
+    means a collapsed vocabulary — Gopher reports exactly this family of
+    corpus statistics).
+
+    Scale shape: the word count is vocab_topn's ONE map-side-combined
+    exchange + TakeOrderedAndProject head selection; the rank window and
+    the regression run over ≤ ZIPF_TOP rows (the single-partition window
+    is over the bounded head, never the vocabulary), and the five
+    regression moments accumulate as exact integers over quantized logs
+    (see ``_ZIPF_Q``) with the float slope/intercept computed once on
+    the one-row moment relation. Reference analog: AnkiOCR's per-run
+    aggregate stats readout (`gui.py:70-76`), generalized to a
+    distributional corpus diagnostic."""
+    head = q_vocab_topn(spark, sf_dir).limit(ZIPF_TOP)
+    w = Window.orderBy(F.col("freq").desc(), F.col("token").asc())
+    ranked = head.select(
+        F.row_number().over(w).alias("rank"), "freq"
+    ).select(
+        F.round(F.log(F.col("rank").cast("double")) * _ZIPF_Q)
+        .cast("bigint")
+        .alias("xq"),
+        F.round(F.log(F.col("freq").cast("double")) * _ZIPF_Q)
+        .cast("bigint")
+        .alias("yq"),
+    )
+    m = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum("xq").alias("sx"),
+        F.sum("yq").alias("sy"),
+        F.sum(F.col("xq") * F.col("xq")).alias("sxx"),
+        F.sum(F.col("xq") * F.col("yq")).alias("sxy"),
+    )
+    slope = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    )
+    intercept = (
+        (F.col("sy") - slope * F.col("sx"))
+        / F.col("n") / F.lit(float(_ZIPF_Q))
+    )
+    return m.select(
+        F.col("n").alias("n_head_tokens"),
+        F.round(-slope, 6).alias("zipf_alpha"),
+        F.round(intercept, 6).alias("ln_c"),
+    )
+
+
+ORACLE_ZIPF = f"""
+WITH head AS (SELECT token, freq FROM ({ORACLE_VOCAB}) LIMIT {ZIPF_TOP}),
+ranked AS (
+  SELECT round(ln((row_number() OVER (ORDER BY freq DESC, token ASC))::DOUBLE)
+               * {_ZIPF_Q})::BIGINT AS xq,
+         round(ln(freq::DOUBLE) * {_ZIPF_Q})::BIGINT AS yq
+  FROM head),
+m AS (
+  SELECT count(*)::BIGINT AS n, sum(xq)::BIGINT AS sx, sum(yq)::BIGINT AS sy,
+         sum(xq * xq)::BIGINT AS sxx, sum(xq * yq)::BIGINT AS sxy
+  FROM ranked)
+SELECT n AS n_head_tokens,
+       round(-((n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)), 6)
+         AS zipf_alpha,
+       round(((sy - ((n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)) * sx)
+              / n / {_ZIPF_Q}::DOUBLE), 6) AS ln_c
+FROM m
+"""
+
+
 # --- BM25 retrieval scoring ---------------------------------------------------
 
 #: fixed keyword query for the retrieval benchmark — terms from the fixture
@@ -819,6 +908,7 @@ QUERIES = {
     "quality_score": q_quality_score,
     "token_count": q_token_count,
     "vocab_topn": q_vocab_topn,
+    "zipf_alpha": q_zipf_alpha,
     "bm25_topk": q_bm25_topk,
     "classifier_score": q_classifier_score,
     "classifier_train": q_classifier_train,
@@ -834,6 +924,7 @@ ORACLE_SQL = {
     "quality_score": ORACLE_QUALITY,
     "token_count": ORACLE_TOKEN_COUNT,
     "vocab_topn": ORACLE_VOCAB,
+    "zipf_alpha": ORACLE_ZIPF,
     "bm25_topk": ORACLE_BM25,
     "classifier_score": ORACLE_CLASSIFIER,
     "classifier_train": ORACLE_CLASSIFIER_TRAIN,

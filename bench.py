@@ -78,6 +78,7 @@ SECONDARY = [
     "robots_txt_filter",
     "split_leakage",
     "crawl_schedule",
+    "zipf_alpha",
 ]
 
 

@@ -98,6 +98,7 @@ AUDIT = [
     "robots_txt_filter",
     "split_leakage",
     "crawl_schedule",
+    "zipf_alpha",
 ]
 
 #: caveats rendered under the flags line — mostly for iterative queries,

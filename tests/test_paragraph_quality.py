@@ -364,3 +364,48 @@ def test_signal_correlation_matches_numpy(spark, sf_dir):
     assert row["n_docs"] == len(xs)
     assert abs(row["pearson_r"] - expected) < 1e-5
     assert row["pearson_r"] > 0.0
+
+
+def test_zipf_alpha_matches_python_fit(spark, sf_dir):
+    """From-scratch least-squares fit over the same quantized-log points:
+    python recomputes the token counts, the (freq desc, token asc) head
+    ranking, the micro-nat quantization, the integer moments, and the
+    slope — the engine's one-row report must match to the rounding
+    grain, and alpha must be positive (frequencies DECREASE with rank by
+    construction of the ranking)."""
+    import math
+    from collections import Counter
+
+    import duckdb
+
+    from ankiocr_spark.datapipe.textstats import (
+        ZIPF_TOP, _ZIPF_Q, q_zipf_alpha,
+    )
+
+    got = q_zipf_alpha(spark, sf_dir).collect()
+    assert len(got) == 1
+    r = got[0]
+
+    counts = Counter()
+    for (text,) in duckdb.sql(
+        f"SELECT text FROM read_parquet('{sf_dir}/documents.parquet') "
+        "WHERE text IS NOT NULL"
+    ).fetchall():
+        counts.update(t for t in text.split(" ") if t != "")
+    head = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:ZIPF_TOP]
+    pts = [
+        (round(math.log(rank) * _ZIPF_Q), round(math.log(freq) * _ZIPF_Q))
+        for rank, (_, freq) in enumerate(head, start=1)
+    ]
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    sxy = sum(x * y for x, y in pts)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n / _ZIPF_Q
+
+    assert r["n_head_tokens"] == n
+    assert abs(r["zipf_alpha"] - round(-slope, 6)) <= 1e-6
+    assert abs(r["ln_c"] - round(intercept, 6)) <= 1e-6
+    assert r["zipf_alpha"] > 0
