@@ -40,15 +40,15 @@ _MODULES = (ops, pdftext, warc, links, streaming, bucketing, checkpoint,
 #: empty so nothing lands in the window implicitly). Composition, per
 #: VERDICT r4 #2 (name every rotation) and ADVICE r4 (headline-benched
 #: queries belong inside the window):
-#:   - 10 NEW queries (never driver-checked): curation_pipeline_e2e,
+#:   - 12 NEW queries (never driver-checked): curation_pipeline_e2e,
 #:     recrawl_e2e, classifier_train, cluster_keeper_staged, semdedup,
 #:     domain_reputation, robots_txt_filter, split_leakage,
-#:     crawl_schedule, zipf_alpha;
+#:     crawl_schedule, zipf_alpha, bpe_pair_counts, perplexity_buckets;
 #:   - 6 RETURNING headline-bench queries rotated back in from the tail
 #:     (each r2+r3 driver-green): dedup_exact, dedup_minhash_lsh,
 #:     ann_topk_bruteforce, token_count, quality_score, group_concat;
 #:   - flagship_extract + training_pipeline_e2e (headline, kept);
-#:   - the remaining 35 r4-green front entries, kept for a second
+#:   - the remaining 33 r4-green front entries, kept for a second
 #:     consecutive driver round.
 #: Rotated OUT to make room (each r4-green; all still swept by
 #: tests/test_oracle_parity.py and scripts/check_oracles.py):
@@ -63,7 +63,10 @@ _MODULES = (ops, pdftext, warc, links, streaming, bucketing, checkpoint,
 #:   json_props_histogram (the relational trio: r4-green rows, code
 #:   untouched since, each a single-module query with no composition
 #:   partners that could drift), plus sessionize, rollup_report and
-#:   stratified_sample (same rationale — r4-green analytics singletons).
+#:   stratified_sample (same rationale — r4-green analytics singletons),
+#:   plus topk_per_group and quality_percentiles (r4-green singletons,
+#:   code untouched, rotated to fit bpe_pair_counts and
+#:   perplexity_buckets).
 _FRONT = [
     # new this round — must get their first driver row
     "curation_pipeline_e2e",
@@ -76,6 +79,8 @@ _FRONT = [
     "split_leakage",
     "crawl_schedule",
     "zipf_alpha",
+    "bpe_pair_counts",
+    "perplexity_buckets",
     # returning headline-bench queries (ADVICE r4)
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -87,11 +92,9 @@ _FRONT = [
     "flagship_extract",
     "training_pipeline_e2e",
     # r4-green front entries kept for a second consecutive round
-    "topk_per_group",
     "multimodal_frame_sample",
     "host_length_rank",
     "dedup_paragraph",
-    "quality_percentiles",
     "dedup_cc_clusters",
     "pii_redact",
     "repetition_filter",
@@ -133,6 +136,8 @@ _TAIL = [
     "sessionize",
     "rollup_report",
     "stratified_sample",
+    "topk_per_group",
+    "quality_percentiles",
     "run_metrics",
     "outlinks_pagerank",
     "stream_host_tracker",

@@ -45,15 +45,17 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load(spark, sf_dir, "documents")
 
 
-def _tokenized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, toks): whitespace-tokenized docs with ≥ 2 tokens — the
-    shared input of the bigram-based gates. The split delimiter and the
-    min-token cutoff are load-bearing for BOTH oracles (repetition,
-    lm_perplexity); one definition keeps them in sync."""
+def _tokenized_docs(
+    spark: SparkSession, sf_dir: str, extra: tuple = ()
+) -> DataFrame:
+    """(doc_id[, *extra], toks): whitespace-tokenized docs with ≥ 2
+    tokens — the shared input of the bigram-based gates. The split
+    delimiter and the min-token cutoff are load-bearing for BOTH oracles
+    (repetition, lm_perplexity); one definition keeps them in sync."""
     return (
         _docs(spark, sf_dir)
         .where(F.col("text").isNotNull())
-        .select("doc_id", F.split("text", " ").alias("toks"))
+        .select("doc_id", *extra, F.split("text", " ").alias("toks"))
         .where(F.size("toks") >= 2)
     )
 
@@ -457,13 +459,33 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     back by a cross join (one row), not a per-row join. Then one
     groupBy(doc_id) folds the per-bigram log-probs to the doc mean.
     Data-path exchanges: bigram, w1, doc — all O(corpus bigrams), no
-    quadratic term, no driver collect."""
-    docs = _tokenized_docs(spark, sf_dir)
+    quadratic term, no driver collect.
+
+    The gate compares the ROUNDED mean (the emitted column), not the raw
+    avg: JVM log + partition-ordered summation vs DuckDB libm + its own
+    order can differ by ulps, and the floor is deliberately calibrated
+    inside the score cluster — a raw compare would flake the oracle
+    gate for a doc landing within FP noise of the floor (review find;
+    same rounding discipline as q_repetition_filter's thresholds)."""
+    return _lm_doc_scores(spark, sf_dir).select(
+        "doc_id",
+        "avg_logprob",
+        (F.col("avg_logprob") >= LM_LOGPROB_FLOOR).alias("keep"),
+    )
+
+
+def _lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, avg_logprob): the bigram-LM document scores shared
+    by q_lm_perplexity (floor gate) and q_perplexity_buckets (tercile
+    partitioner) — one definition so the bucketer cannot drift from the
+    gate. avg_logprob is rounded to 6dp, which both engines reproduce
+    bit-identically (multi-round lm_perplexity precedent)."""
+    docs = _tokenized_docs(spark, sf_dir, extra=("lang",))
     bigrams = F.transform(
         F.sequence(F.lit(0), F.size("toks") - 2),
         lambda i: F.concat_ws(" ", F.get("toks", i), F.get("toks", i + 1)),
     )
-    exploded = docs.select("doc_id", F.explode(bigrams).alias("bigram"))
+    exploded = docs.select("doc_id", "lang", F.explode(bigrams).alias("bigram"))
     vocab = (
         docs.select(F.explode("toks").alias("tok"))
         .agg(F.countDistinct("tok").alias("v"))
@@ -476,19 +498,12 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(vocab))
         .select(
             "doc_id",
+            "lang",
             F.log((F.col("c12") + 1) / (F.col("c1") + F.col("v"))).alias("lp"),
         )
     )
-    # keep compares the ROUNDED mean (the emitted column), not the raw
-    # avg: JVM log + partition-ordered summation vs DuckDB libm + its own
-    # order can differ by ulps, and the floor is deliberately calibrated
-    # inside the score cluster — a raw compare would flake the oracle
-    # gate for a doc landing within FP noise of the floor (review find;
-    # same rounding discipline as q_repetition_filter's thresholds).
-    avg_r = F.round(F.avg("lp"), 6)
-    return scored.groupBy("doc_id").agg(
-        avg_r.alias("avg_logprob"),
-        (avg_r >= LM_LOGPROB_FLOOR).alias("keep"),
+    return scored.groupBy("doc_id", "lang").agg(
+        F.round(F.avg("lp"), 6).alias("avg_logprob")
     )
 
 
@@ -516,6 +531,132 @@ lp AS (
 SELECT doc_id, round(avg(lp), 6) AS avg_logprob,
        round(avg(lp), 6) >= {LM_LOGPROB_FLOOR} AS keep
 FROM lp GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# CCNet head/middle/tail perplexity buckets — the curriculum partitioner
+# ---------------------------------------------------------------------------
+
+#: deterministic-hash sample rate for fitting the per-language tercile
+#: thresholds. CCNet fits its quantile cuts on a sample of the scored
+#: corpus, never on a full per-language sort — at 10^12 docs a fixed
+#: absolute sample (say 10^6 docs/lang) suffices for 3 quantiles, so the
+#: rate shrinks with corpus size; 0.35 keeps every fixture language
+#: populated at sf0.001.
+PPL_SAMPLE_RATE = 0.35
+
+
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail partitioning (Wenzek et al. 2020): split
+    each language's documents into perplexity terciles — `head` (most
+    fluent third) feeds pretraining directly, `middle` is kept for
+    diversity, `tail` is dropped or down-weighted. This is the
+    curriculum/quality binning pass that follows the lm_perplexity gate
+    in the CCNet pipeline, sharing its scorer (`_lm_doc_scores`).
+
+    Scale shape — thresholds from a SAMPLE, never a per-language sort of
+    the corpus: the scored corpus (materialized here via localCheckpoint,
+    exactly as CCNet materializes its scored shards — and because the
+    sample branch and the bucket branch would otherwise each recompute
+    the bigram chain: filter-above-window breaks subtree equality, so
+    neither CSE nor AQE stage reuse can dedupe them) is probed by a
+    deterministic hash draw (`mix_draw`, overflow-safe for the full
+    bigint id range); rank windows run over the SAMPLE partitioned by
+    lang (rate-bounded — at production scale the rate is chosen so a
+    lang's sample fits one task, and English's whale share is exactly
+    why the full-corpus NTILE alternative is a non-starter); the two
+    tercile cut scores per language collapse to a langs-sized table,
+    BROADCAST back, and the verdict is codegen arithmetic — the corpus
+    never shuffles. Tercile positions use integer ceil division
+    ((n+2) div 3), and every comparison is between 6dp-rounded doubles
+    both engines reproduce bit-identically, so the bucket assignment is
+    deterministic cross-engine. A language absent from the sample gets
+    bucket 'unsampled' explicitly (NULL thresholds must not silently
+    fall through to 'tail').
+
+    Reference analog: AnkiOCR batches notes into fixed-size groups for
+    its OCR loop (`ocr.py:75-87`); this is the corpus-curriculum
+    generalization every CCNet-style 100 TB pipeline runs."""
+    scored = _lm_doc_scores(spark, sf_dir).localCheckpoint()
+    samp = scored.where(mix_draw(F.col("doc_id")) < F.lit(PPL_SAMPLE_RATE))
+    w = Window.partitionBy("lang").orderBy(
+        F.col("avg_logprob").desc(), F.col("doc_id").asc()
+    )
+    ranked = samp.select(
+        "lang",
+        "avg_logprob",
+        F.row_number().over(w).alias("rk"),
+        F.count("*").over(Window.partitionBy("lang")).alias("n"),
+    )
+    thr = ranked.groupBy("lang").agg(
+        F.max(
+            F.when(F.col("rk") == F.expr("(n + 2) div 3"), F.col("avg_logprob"))
+        ).alias("t_head"),
+        F.max(
+            F.when(
+                F.col("rk") == F.expr("(2 * n + 2) div 3"), F.col("avg_logprob")
+            )
+        ).alias("t_mid"),
+    )
+    return scored.join(F.broadcast(thr), "lang", "left").select(
+        "doc_id",
+        "lang",
+        "avg_logprob",
+        F.when(F.col("t_head").isNull(), F.lit("unsampled"))
+        .when(F.col("avg_logprob") >= F.col("t_head"), F.lit("head"))
+        .when(F.col("avg_logprob") >= F.col("t_mid"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+
+
+ORACLE_PPL_BUCKETS = f"""
+WITH docs AS (
+  SELECT doc_id, lang, str_split(text, ' ') AS toks FROM documents
+  WHERE text IS NOT NULL AND len(str_split(text, ' ')) >= 2),
+v AS (
+  SELECT count(DISTINCT tok) AS v
+  FROM (SELECT unnest(toks) AS tok FROM docs)),
+bg AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(range(len(toks) - 1),
+                               i -> toks[i + 1] || ' ' || toks[i + 2]))
+           AS bigram
+  FROM docs),
+counted AS (
+  SELECT doc_id, lang, bigram,
+         count(*) OVER (PARTITION BY bigram) AS c12,
+         count(*) OVER (PARTITION BY str_split(bigram, ' ')[1]) AS c1
+  FROM bg),
+lp AS (
+  SELECT doc_id, lang, ln((c12 + 1) / (c1 + v)::DOUBLE) AS lp
+  FROM counted, v),
+scored AS (
+  SELECT doc_id, lang, round(avg(lp), 6) AS avg_logprob
+  FROM lp GROUP BY doc_id, lang),
+samp AS (
+  SELECT * FROM scored
+  WHERE ((((doc_id % {_MIX_REDUCE} + {_MIX_REDUCE}) % {_MIX_REDUCE})
+           * {_MIX_MULT}) % {_MIX_MOD})::DOUBLE / {float(_MIX_MOD)}::DOUBLE
+        < {PPL_SAMPLE_RATE}::DOUBLE),
+ranked AS (
+  SELECT lang, avg_logprob,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY avg_logprob DESC, doc_id ASC) AS rk,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM samp),
+thr AS (
+  SELECT lang,
+         max(CASE WHEN rk = (n + 2) // 3 THEN avg_logprob END) AS t_head,
+         max(CASE WHEN rk = (2 * n + 2) // 3 THEN avg_logprob END) AS t_mid
+  FROM ranked GROUP BY lang)
+SELECT doc_id, lang, avg_logprob,
+       CASE WHEN t_head IS NULL THEN 'unsampled'
+            WHEN avg_logprob >= t_head THEN 'head'
+            WHEN avg_logprob >= t_mid THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM scored LEFT JOIN thr USING (lang)
 """
 
 
@@ -1349,6 +1490,7 @@ QUERIES = {
     "blocklist_filter": q_blocklist_filter,
     "domain_mix_sample": q_domain_mix_sample,
     "lm_perplexity": q_lm_perplexity,
+    "perplexity_buckets": q_perplexity_buckets,
     "dsir_weight": q_dsir_weight,
     "c4_filter": q_c4_filter,
     "badwords_filter": q_badwords_filter,
@@ -1366,6 +1508,7 @@ ORACLE_SQL = {
     "blocklist_filter": ORACLE_BLOCKLIST,
     "domain_mix_sample": ORACLE_MIX,
     "lm_perplexity": ORACLE_LM,
+    "perplexity_buckets": ORACLE_PPL_BUCKETS,
     "dsir_weight": ORACLE_DSIR,
     "c4_filter": ORACLE_C4,
     "badwords_filter": ORACLE_BADWORDS,

@@ -242,6 +242,86 @@ FROM m
 """
 
 
+# --- BPE merge-pair counting (tokenizer training, iteration 0) -----------------
+
+#: head size for the reported merge-pair table — the BPE trainer only
+#: ever needs the argmax pair per iteration; reporting a ranked head
+#: keeps the driver result bounded while exercising the same plan.
+BPE_PAIR_TOP = 150
+
+
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, iteration 0: corpus-wide frequencies of
+    adjacent character pairs, weighted by word frequency — the pair table
+    whose argmax is the first BPE merge (Sennrich et al. 2016). Every
+    BPE/SentencePiece trainer starts from exactly this table.
+
+    Scale shape — the trainer trick that makes BPE feasible at corpus
+    scale: pairs are counted over the DISTINCT-WORD relation (word →
+    corpus frequency), never over the raw token stream. The corpus pays
+    ONE map-side-combined word-count exchange (the vocab_topn stage);
+    the pair explode then runs over |vocab| rows (≪ corpus tokens), and
+    the pair aggregate is a second map-side-combined exchange over
+    |vocab|·avg_word_len keys — both metadata-sized next to the corpus.
+    The ranked head compiles to TakeOrderedAndProject (per-partition
+    heaps, no global sort). Production BPE iterates: apply the argmax
+    merge to the word table (a row-local string rewrite of |vocab| rows)
+    and re-count — the corpus-scale stage never reruns, and the loop
+    cache-rotates the word table like the pagerank iterator.
+    words of length 1 contribute no pairs and are filtered before the
+    explode (Spark's ``sequence(1, 0)`` would step BACKWARD to [1, 0],
+    unlike DuckDB's empty ``generate_series(1, 0)``).
+
+    Reference analog: AnkiOCR builds its per-language recognition
+    alphabet once per batch run (`ocr.py:60-66` languages → tessdata
+    config); this is the corpus-statistics pass a from-scratch tokenizer
+    needs at 10^12 docs."""
+    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    words = (
+        docs.select(
+            F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias(
+                "word"
+            )
+        )
+        .groupBy("word")
+        .agg(F.count("*").alias("wf"))
+        .where(F.length("word") >= 2)
+    )
+    pairs = words.select(
+        "wf",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word") - 1),
+                lambda i: F.substring(F.col("word"), i, F.lit(2)),
+            )
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wf").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), F.col("pair").asc())
+        .limit(BPE_PAIR_TOP)
+    )
+
+
+ORACLE_BPE_PAIRS = f"""
+WITH words AS (
+  SELECT word, count(*)::BIGINT AS wf
+  FROM (SELECT unnest(list_filter(str_split(text, ' '), x -> x <> '')) AS word
+        FROM documents WHERE text IS NOT NULL)
+  GROUP BY word),
+pairs AS (
+  SELECT wf,
+         unnest(list_transform(generate_series(1, length(word) - 1),
+                               i -> substr(word, i, 2))) AS pair
+  FROM words WHERE length(word) >= 2)
+SELECT pair, sum(wf)::BIGINT AS pair_count
+FROM pairs GROUP BY pair
+ORDER BY pair_count DESC, pair ASC
+LIMIT {BPE_PAIR_TOP}
+"""
+
+
 # --- BM25 retrieval scoring ---------------------------------------------------
 
 #: fixed keyword query for the retrieval benchmark — terms from the fixture
@@ -909,6 +989,7 @@ QUERIES = {
     "token_count": q_token_count,
     "vocab_topn": q_vocab_topn,
     "zipf_alpha": q_zipf_alpha,
+    "bpe_pair_counts": q_bpe_pair_counts,
     "bm25_topk": q_bm25_topk,
     "classifier_score": q_classifier_score,
     "classifier_train": q_classifier_train,
@@ -925,6 +1006,7 @@ ORACLE_SQL = {
     "token_count": ORACLE_TOKEN_COUNT,
     "vocab_topn": ORACLE_VOCAB,
     "zipf_alpha": ORACLE_ZIPF,
+    "bpe_pair_counts": ORACLE_BPE_PAIRS,
     "bm25_topk": ORACLE_BM25,
     "classifier_score": ORACLE_CLASSIFIER,
     "classifier_train": ORACLE_CLASSIFIER_TRAIN,

@@ -79,6 +79,8 @@ SECONDARY = [
     "split_leakage",
     "crawl_schedule",
     "zipf_alpha",
+    "bpe_pair_counts",
+    "perplexity_buckets",
 ]
 
 

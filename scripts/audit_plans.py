@@ -99,6 +99,8 @@ AUDIT = [
     "split_leakage",
     "crawl_schedule",
     "zipf_alpha",
+    "bpe_pair_counts",
+    "perplexity_buckets",
 ]
 
 #: caveats rendered under the flags line — mostly for iterative queries,

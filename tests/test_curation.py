@@ -624,3 +624,71 @@ def test_domain_reputation_zero_token_host(spark, tmp_path):
     assert all(
         r["reputation"] > 0.5 for h, r in got.items() if h != "h0.example.org"
     )
+
+
+def test_perplexity_buckets_threshold_logic_and_monotonicity(spark, sf_dir):
+    """The tercile assignment is recomputed in python FROM the engine's
+    own (doc_id, lang, avg_logprob) output — same hash draw, same ceil
+    positions, same tie order — so a wrong ceil, a flipped tie-break, or
+    a sample/bucket drift shows up even though the DuckDB oracle (which
+    replays the same math) never would. Plus the algebraic property the
+    oracle can't state: buckets are MONOTONE in score within a language
+    (every head score strictly above every middle, middle above tail),
+    and all three buckets carry rows (calibration guard)."""
+    from ankiocr_spark.datapipe.curation import (
+        _MIX_MOD, _MIX_MULT, _MIX_REDUCE, PPL_SAMPLE_RATE,
+        q_perplexity_buckets,
+    )
+
+    rows = q_perplexity_buckets(spark, sf_dir).collect()
+    assert len(rows) > 0
+
+    def draw(doc_id):
+        return ((doc_id % _MIX_REDUCE + _MIX_REDUCE) % _MIX_REDUCE
+                * _MIX_MULT % _MIX_MOD) / _MIX_MOD
+
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    assert len(by_lang) >= 2
+
+    for lang, rs in by_lang.items():
+        samp = sorted(
+            (r for r in rs if draw(r["doc_id"]) < PPL_SAMPLE_RATE),
+            key=lambda r: (-r["avg_logprob"], r["doc_id"]),
+        )
+        n = len(samp)
+        if n == 0:
+            assert all(r["bucket"] == "unsampled" for r in rs)
+            continue
+        t_head = samp[(n + 2) // 3 - 1]["avg_logprob"]
+        t_mid = samp[(2 * n + 2) // 3 - 1]["avg_logprob"]
+        for r in rs:
+            want = ("head" if r["avg_logprob"] >= t_head
+                    else "middle" if r["avg_logprob"] >= t_mid
+                    else "tail")
+            assert r["bucket"] == want, (lang, r)
+        # monotonicity: score bands are strictly ordered across buckets
+        scores = {b: [r["avg_logprob"] for r in rs if r["bucket"] == b]
+                  for b in ("head", "middle", "tail")}
+        if scores["head"] and scores["middle"]:
+            assert min(scores["head"]) > max(scores["middle"])
+        if scores["middle"] and scores["tail"]:
+            assert min(scores["middle"]) > max(scores["tail"])
+
+    populated = {r["bucket"] for r in rows}
+    assert {"head", "middle", "tail"} <= populated
+
+
+def test_perplexity_buckets_corpus_side_is_broadcast(spark, sf_dir):
+    """The threshold table joins back by BROADCAST: the executed plan
+    must contain a BroadcastHashJoin and no SortMergeJoin — the scored
+    corpus never shuffles for the bucket assignment (the whole point of
+    fitting thresholds on a sample instead of a per-language NTILE)."""
+    from ankiocr_spark.datapipe.curation import q_perplexity_buckets
+
+    df = q_perplexity_buckets(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -409,3 +409,44 @@ def test_zipf_alpha_matches_python_fit(spark, sf_dir):
     assert abs(r["zipf_alpha"] - round(-slope, 6)) <= 1e-6
     assert abs(r["ln_c"] - round(intercept, 6)) <= 1e-6
     assert r["zipf_alpha"] > 0
+
+
+def test_bpe_pair_counts_matches_python_trainer_step(spark, sf_dir):
+    """From-scratch recompute of BPE iteration 0: python builds the
+    word→frequency table, expands each distinct word (len ≥ 2) into its
+    adjacent character pairs, and sums word frequencies per pair — the
+    engine's ranked head must equal the python head exactly (count desc,
+    pair asc is a total order, so the LIMIT cut is deterministic), and
+    the argmax pair (the first BPE merge) must agree."""
+    from collections import Counter
+
+    import duckdb
+
+    from ankiocr_spark.datapipe.textstats import (
+        BPE_PAIR_TOP, q_bpe_pair_counts,
+    )
+
+    got = [
+        (r["pair"], r["pair_count"])
+        for r in q_bpe_pair_counts(spark, sf_dir).collect()
+    ]
+
+    wf = Counter()
+    for (text,) in duckdb.sql(
+        f"SELECT text FROM read_parquet('{sf_dir}/documents.parquet') "
+        "WHERE text IS NOT NULL"
+    ).fetchall():
+        wf.update(t for t in text.split(" ") if t != "")
+    pc = Counter()
+    for word, f in wf.items():
+        if len(word) >= 2:
+            for i in range(len(word) - 1):
+                pc[word[i : i + 2]] += f
+    want = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[:BPE_PAIR_TOP]
+
+    assert got == want
+    assert got[0] == want[0]  # the first merge the trainer would pick
+    # pair stage runs over the distinct-word relation, not the corpus:
+    # every pair count is bounded by total token occurrences
+    total_tokens = sum(wf.values())
+    assert all(c <= total_tokens for _, c in got)
