@@ -48,8 +48,8 @@ _MODULES = (ops, pdftext, warc, links, streaming, bucketing, checkpoint,
 #:     (each r2+r3 driver-green): dedup_exact, dedup_minhash_lsh,
 #:     ann_topk_bruteforce, token_count, quality_score, group_concat;
 #:   - flagship_extract + training_pipeline_e2e (headline, kept);
-#:   - the remaining 33 r4-green front entries, kept for a second
-#:     consecutive driver round.
+#:   - the remaining 30 r4-green front entries, kept for a second
+#:     consecutive driver round (12 + 6 + 2 headline + 30 = 50).
 #: Rotated OUT to make room (each r4-green; all still swept by
 #: tests/test_oracle_parity.py and scripts/check_oracles.py):
 #:   run_metrics, outlinks_pagerank, stream_host_tracker, merge_upsert

@@ -120,6 +120,20 @@ FROM documents
 VOCAB_TOP_N = 200
 
 
+def _word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(token, freq): the corpus word count — the ONE tokenization +
+    count definition shared by q_vocab_topn, q_zipf_alpha (via the vocab
+    head) and q_bpe_pair_counts, so the pair table cannot silently drift
+    from the vocabulary it is documented to share (the _tokenized_docs
+    sync discipline; review find). The split delimiter and the
+    empty-token filter are load-bearing for all three oracles."""
+    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    toks = docs.select(
+        F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("token")
+    )
+    return toks.groupBy("token").agg(F.count("*").alias("freq"))
+
+
 def q_vocab_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary: the top-N whitespace tokens by total frequency —
     the word-count pass every tokenizer-training pipeline runs over the
@@ -131,13 +145,8 @@ def q_vocab_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     of (token, partial count) keys, then ``orderBy().limit()`` compiles to
     TakeOrderedAndProject (per-partition top-N heaps + a driver merge of
     N·partitions rows), never a global sort of the vocabulary."""
-    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
-    toks = docs.select(
-        F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("token")
-    )
     return (
-        toks.groupBy("token")
-        .agg(F.count("*").alias("freq"))
+        _word_counts(spark, sf_dir)
         .orderBy(F.col("freq").desc(), F.col("token").asc())
         .limit(VOCAB_TOP_N)
     )
@@ -157,8 +166,12 @@ LIMIT {VOCAB_TOP_N}
 
 #: head size for the Zipf fit: power laws are fit on the frequency HEAD
 #: (the tail is where Zipf breaks down and where counts are noisy);
-#: bounded, so the rank window below runs over ≤ this many rows.
+#: bounded, so the rank window below runs over ≤ this many rows. The
+#: head is selected from q_vocab_topn's table, so it can never exceed
+#: VOCAB_TOP_N — asserted below, or lowering the vocab knob would
+#: silently shrink the fit in both engine AND oracle (review find).
 ZIPF_TOP = 200
+assert ZIPF_TOP <= VOCAB_TOP_N, "zipf head cannot exceed the vocab table"
 
 #: log quantization grain — micro-nats as BIGINT (the token_entropy
 #: discipline): JVM Math.log and DuckDB libm ln() agree to ~1 ulp
@@ -188,7 +201,14 @@ def q_zipf_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
     the one-row moment relation. Reference analog: AnkiOCR's per-run
     aggregate stats readout (`gui.py:70-76`), generalized to a
     distributional corpus diagnostic."""
-    head = q_vocab_topn(spark, sf_dir).limit(ZIPF_TOP)
+    # re-state the order before the head cut: a bare .limit() on an
+    # already-ordered relation is not contractually ordered in either
+    # engine once ZIPF_TOP < VOCAB_TOP_N
+    head = (
+        q_vocab_topn(spark, sf_dir)
+        .orderBy(F.col("freq").desc(), F.col("token").asc())
+        .limit(ZIPF_TOP)
+    )
     w = Window.orderBy(F.col("freq").desc(), F.col("token").asc())
     ranked = head.select(
         F.row_number().over(w).alias("rank"), "freq"
@@ -223,7 +243,8 @@ def q_zipf_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_ZIPF = f"""
-WITH head AS (SELECT token, freq FROM ({ORACLE_VOCAB}) LIMIT {ZIPF_TOP}),
+WITH head AS (SELECT token, freq FROM ({ORACLE_VOCAB})
+              ORDER BY freq DESC, token ASC LIMIT {ZIPF_TOP}),
 ranked AS (
   SELECT round(ln((row_number() OVER (ORDER BY freq DESC, token ASC))::DOUBLE)
                * {_ZIPF_Q})::BIGINT AS xq,
@@ -276,15 +297,9 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     alphabet once per batch run (`ocr.py:60-66` languages → tessdata
     config); this is the corpus-statistics pass a from-scratch tokenizer
     needs at 10^12 docs."""
-    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
     words = (
-        docs.select(
-            F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias(
-                "word"
-            )
-        )
-        .groupBy("word")
-        .agg(F.count("*").alias("wf"))
+        _word_counts(spark, sf_dir)
+        .select(F.col("token").alias("word"), F.col("freq").alias("wf"))
         .where(F.length("word") >= 2)
     )
     pairs = words.select(

@@ -321,7 +321,8 @@ def main() -> None:
     secondary_10x: dict[str, float] = {}
     for _ in range(2):
         for name in ("domain_reputation", "robots_txt_filter",
-                     "split_leakage", "crawl_schedule"):
+                     "split_leakage", "crawl_schedule", "zipf_alpha",
+                     "bpe_pair_counts", "perplexity_buckets"):
             t0 = time.perf_counter()
             qs[name](spark, TENX_DIR).count()
             dt = round(time.perf_counter() - t0, 3)
