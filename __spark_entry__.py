@@ -40,16 +40,17 @@ _MODULES = (ops, pdftext, warc, links, streaming, bucketing, checkpoint,
 #: empty so nothing lands in the window implicitly). Composition, per
 #: VERDICT r4 #2 (name every rotation) and ADVICE r4 (headline-benched
 #: queries belong inside the window):
-#:   - 12 NEW queries (never driver-checked): curation_pipeline_e2e,
+#:   - 13 NEW queries (never driver-checked): curation_pipeline_e2e,
 #:     recrawl_e2e, classifier_train, cluster_keeper_staged, semdedup,
 #:     domain_reputation, robots_txt_filter, split_leakage,
-#:     crawl_schedule, zipf_alpha, bpe_pair_counts, perplexity_buckets;
+#:     crawl_schedule, zipf_alpha, bpe_pair_counts, perplexity_buckets,
+#:     corpus_health;
 #:   - 6 RETURNING headline-bench queries rotated back in from the tail
 #:     (each r2+r3 driver-green): dedup_exact, dedup_minhash_lsh,
 #:     ann_topk_bruteforce, token_count, quality_score, group_concat;
 #:   - flagship_extract + training_pipeline_e2e (headline, kept);
-#:   - the remaining 30 r4-green front entries, kept for a second
-#:     consecutive driver round (12 + 6 + 2 headline + 30 = 50).
+#:   - the remaining 29 r4-green front entries, kept for a second
+#:     consecutive driver round (13 + 6 + 2 headline + 29 = 50).
 #: Rotated OUT to make room (each r4-green; all still swept by
 #: tests/test_oracle_parity.py and scripts/check_oracles.py):
 #:   run_metrics, outlinks_pagerank, stream_host_tracker, merge_upsert
@@ -66,7 +67,8 @@ _MODULES = (ops, pdftext, warc, links, streaming, bucketing, checkpoint,
 #:   stratified_sample (same rationale — r4-green analytics singletons),
 #:   plus topk_per_group and quality_percentiles (r4-green singletons,
 #:   code untouched, rotated to fit bpe_pair_counts and
-#:   perplexity_buckets).
+#:   perplexity_buckets), plus host_length_rank (r4-green thin window
+#:   over the flagship output, rotated to fit corpus_health).
 _FRONT = [
     # new this round — must get their first driver row
     "curation_pipeline_e2e",
@@ -81,6 +83,7 @@ _FRONT = [
     "zipf_alpha",
     "bpe_pair_counts",
     "perplexity_buckets",
+    "corpus_health",
     # returning headline-bench queries (ADVICE r4)
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -93,7 +96,6 @@ _FRONT = [
     "training_pipeline_e2e",
     # r4-green front entries kept for a second consecutive round
     "multimodal_frame_sample",
-    "host_length_rank",
     "dedup_paragraph",
     "dedup_cc_clusters",
     "pii_redact",
@@ -138,6 +140,7 @@ _TAIL = [
     "stratified_sample",
     "topk_per_group",
     "quality_percentiles",
+    "host_length_rank",
     "run_metrics",
     "outlinks_pagerank",
     "stream_host_tracker",

@@ -337,6 +337,104 @@ LIMIT {BPE_PAIR_TOP}
 """
 
 
+# --- Corpus health report (the daily one-row dashboard) ------------------------
+
+#: quantization grain for float per-doc scores folded into corpus means —
+#: sums of quantized BIGINTs are exact and order-independent, so the
+#: report is immune to the float-partial-agg-order trap (bm25 docstring);
+#: the one division back to double happens on the final one-row relation.
+_HEALTH_Q = 1_000_000
+
+
+def q_corpus_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus health dashboard: document/empty counts, token
+    volume, exact-duplicate fraction, language spread, and the mean
+    quality score — the daily readout a corpus owner checks before
+    anything else (dup_frac creeping up means the dedup stage regressed;
+    mean quality dropping means a bad crawl slice landed). Reference
+    analog: AnkiOCR's end-of-run stats readout (`gui.py:70-76`, notes
+    processed / errored counts), generalized to corpus telemetry.
+
+    Scale shape: ONE corpus scan. The two DISTINCT aggregates (text
+    digest, lang) compile to Spark's Expand plan — the scan's rows fan
+    out ×3 (one stream per distinct + one for the plain sums) but stay
+    map-side-partial-aggregated before the single exchange; at 10^12
+    docs the production swap is approx_count_distinct (HLL, one pass, no
+    Expand), kept exact here for the value oracle. Float means ride as
+    exact quantized-integer sums (see ``_HEALTH_Q``) divided once on the
+    one-row result; every other column is a pure integer."""
+    docs = _docs(spark, sf_dir)
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    quality_q = F.round(quality_col(F.split("text", " ")) * _HEALTH_Q).cast(
+        "bigint"
+    )
+    agg = docs.select(
+        "lang",
+        F.col("text").isNull().cast("int").alias("is_empty"),
+        F.when(F.col("text").isNotNull(), F.md5("text")).alias("digest"),
+        F.when(F.col("text").isNotNull(), F.size(toks))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("n_toks"),
+        F.when(F.col("text").isNotNull(), quality_q).alias("q_q"),
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("is_empty").alias("n_empty"),
+        F.sum("n_toks").alias("total_tokens"),
+        F.countDistinct("digest").alias("distinct_texts"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("q_q").alias("_qsum"),
+        F.count("q_q").alias("_qn"),
+    )
+    non_empty = F.col("n_docs") - F.col("n_empty")
+    return agg.select(
+        "n_docs",
+        "n_empty",
+        "total_tokens",
+        "distinct_texts",
+        F.round(
+            (non_empty - F.col("distinct_texts")) / non_empty, 6
+        ).alias("dup_frac"),
+        "n_langs",
+        F.round(F.col("_qsum") / F.col("_qn") / F.lit(float(_HEALTH_Q)), 6).alias(
+            "mean_quality"
+        ),
+    )
+
+
+ORACLE_CORPUS_HEALTH = f"""
+WITH base AS (
+  SELECT lang,
+         CASE WHEN text IS NULL THEN 1 ELSE 0 END AS is_empty,
+         CASE WHEN text IS NOT NULL THEN md5(text) END AS digest,
+         CASE WHEN text IS NOT NULL
+              THEN len(list_filter(str_split(text, ' '), x -> x <> ''))
+              ELSE 0 END AS n_toks,
+         CASE WHEN text IS NOT NULL THEN
+           round(round(0.4 * least(1.0, len(str_split(text, ' ')) / 100.0)
+                     + 0.6 * (len(list_distinct(str_split(text, ' ')))
+                              / len(str_split(text, ' '))), 6)
+                 * {_HEALTH_Q})::BIGINT
+         END AS q_q
+  FROM documents),
+agg AS (
+  SELECT count(*)::BIGINT AS n_docs,
+         sum(is_empty)::BIGINT AS n_empty,
+         sum(n_toks)::BIGINT AS total_tokens,
+         count(DISTINCT digest)::BIGINT AS distinct_texts,
+         count(DISTINCT lang)::BIGINT AS n_langs,
+         sum(q_q)::BIGINT AS qsum,
+         count(q_q)::BIGINT AS qn
+  FROM base)
+SELECT n_docs, n_empty, total_tokens, distinct_texts,
+       round((n_docs - n_empty - distinct_texts)::DOUBLE
+             / (n_docs - n_empty), 6) AS dup_frac,
+       n_langs,
+       round(qsum::DOUBLE / qn / {float(_HEALTH_Q)}::DOUBLE, 6) AS mean_quality
+FROM agg
+"""
+
+
 # --- BM25 retrieval scoring ---------------------------------------------------
 
 #: fixed keyword query for the retrieval benchmark — terms from the fixture
@@ -1005,6 +1103,7 @@ QUERIES = {
     "vocab_topn": q_vocab_topn,
     "zipf_alpha": q_zipf_alpha,
     "bpe_pair_counts": q_bpe_pair_counts,
+    "corpus_health": q_corpus_health,
     "bm25_topk": q_bm25_topk,
     "classifier_score": q_classifier_score,
     "classifier_train": q_classifier_train,
@@ -1022,6 +1121,7 @@ ORACLE_SQL = {
     "vocab_topn": ORACLE_VOCAB,
     "zipf_alpha": ORACLE_ZIPF,
     "bpe_pair_counts": ORACLE_BPE_PAIRS,
+    "corpus_health": ORACLE_CORPUS_HEALTH,
     "bm25_topk": ORACLE_BM25,
     "classifier_score": ORACLE_CLASSIFIER,
     "classifier_train": ORACLE_CLASSIFIER_TRAIN,

@@ -81,6 +81,7 @@ SECONDARY = [
     "zipf_alpha",
     "bpe_pair_counts",
     "perplexity_buckets",
+    "corpus_health",
 ]
 
 
@@ -322,7 +323,8 @@ def main() -> None:
     for _ in range(2):
         for name in ("domain_reputation", "robots_txt_filter",
                      "split_leakage", "crawl_schedule", "zipf_alpha",
-                     "bpe_pair_counts", "perplexity_buckets"):
+                     "bpe_pair_counts", "perplexity_buckets",
+                     "corpus_health"):
             t0 = time.perf_counter()
             qs[name](spark, TENX_DIR).count()
             dt = round(time.perf_counter() - t0, 3)

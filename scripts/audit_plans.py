@@ -101,6 +101,7 @@ AUDIT = [
     "zipf_alpha",
     "bpe_pair_counts",
     "perplexity_buckets",
+    "corpus_health",
 ]
 
 #: caveats rendered under the flags line — mostly for iterative queries,

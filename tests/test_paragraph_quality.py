@@ -450,3 +450,54 @@ def test_bpe_pair_counts_matches_python_trainer_step(spark, sf_dir):
     # every pair count is bounded by total token occurrences
     total_tokens = sum(wf.values())
     assert all(c <= total_tokens for _, c in got)
+
+
+def test_corpus_health_matches_python_recompute(spark, sf_dir):
+    """Every field of the one-row dashboard recomputed from the raw
+    parquet in python: counts, token volume, exact-duplicate fraction,
+    language spread, and the quantized-integer mean quality — plus the
+    bounds the oracle can't state (distinct_texts never exceeds the
+    non-empty count; dup_frac in [0, 1])."""
+    import hashlib
+
+    import duckdb
+
+    from ankiocr_spark.datapipe.textstats import _HEALTH_Q, q_corpus_health
+
+    rows = q_corpus_health(spark, sf_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+
+    raw = duckdb.sql(
+        f"SELECT text, lang FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    n_docs = len(raw)
+    n_empty = sum(1 for t, _ in raw if t is None)
+    digests = {hashlib.md5(t.encode()).hexdigest() for t, _ in raw if t is not None}
+    total_tokens = sum(
+        len([x for x in t.split(" ") if x != ""]) for t, _ in raw if t is not None
+    )
+    qsum, qn = 0, 0
+    for t, _ in raw:
+        if t is None:
+            continue
+        toks = t.split(" ")
+        q = round(
+            0.4 * min(1.0, len(toks) / 100.0)
+            + 0.6 * (len(set(toks)) / len(toks)),
+            6,
+        )
+        qsum += round(q * _HEALTH_Q)
+        qn += 1
+
+    assert r["n_docs"] == n_docs
+    assert r["n_empty"] == n_empty
+    assert r["total_tokens"] == total_tokens
+    assert r["distinct_texts"] == len(digests)
+    assert r["n_langs"] == len({l for _, l in raw})
+    assert r["dup_frac"] == round(
+        (n_docs - n_empty - len(digests)) / (n_docs - n_empty), 6
+    )
+    assert r["mean_quality"] == round(qsum / qn / _HEALTH_Q, 6)
+    assert r["distinct_texts"] <= n_docs - n_empty
+    assert 0.0 <= r["dup_frac"] <= 1.0
