@@ -358,9 +358,13 @@ def q_corpus_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: ONE corpus scan. The two DISTINCT aggregates (text
     digest, lang) compile to Spark's Expand plan — the scan's rows fan
     out ×3 (one stream per distinct + one for the plain sums) but stay
-    map-side-partial-aggregated before the single exchange; at 10^12
-    docs the production swap is approx_count_distinct (HLL, one pass, no
-    Expand), kept exact here for the value oracle. Float means ride as
+    map-side-partial-aggregated before the (digest, lang, gid) exchange;
+    the second exchange in the recorded plan (docs/PLANS.md) is the
+    single-partition collapse of the already-aggregated groups to the
+    one-row report — metadata-sized by then. At 10^12 docs the
+    production swap is approx_count_distinct (HLL: one pass, no Expand,
+    and the first exchange carries sketches instead of distinct keys),
+    kept exact here for the value oracle. Float means ride as
     exact quantized-integer sums (see ``_HEALTH_Q``) divided once on the
     one-row result; every other column is a pure integer."""
     docs = _docs(spark, sf_dir)

@@ -84,6 +84,24 @@ SECONDARY = [
     "corpus_health",
 ]
 
+#: the documents-driven round-5 ops ALSO timed at the 10× corpus — at
+#: sf0.1 they finish inside the noise floor, so the 10× number is the one
+#: that carries scaling signal. Defined next to SECONDARY so a new
+#: documents-driven query is added in one place (review find: the inline
+#: tuple forced a dual edit and would silently drop the 10× timing).
+#: semdedup is excluded: it reads the embeddings table, which the 10×
+#: corpus symlinks at 1×.
+SECONDARY_10X = [
+    "domain_reputation",
+    "robots_txt_filter",
+    "split_leakage",
+    "crawl_schedule",
+    "zipf_alpha",
+    "bpe_pair_counts",
+    "perplexity_buckets",
+    "corpus_health",
+]
+
 
 #: cached fixture corpus for the kernel-throughput figure — the sf tables
 #: top out at 5000 docs, far too small to measure the hot path. Layout and
@@ -312,19 +330,13 @@ def main() -> None:
         qs[name](spark, sf_dir).count()
         secondary[name] = round(time.perf_counter() - t0, 3)
 
-    # the round-5 documents-driven ops also time at the 10× corpus — at
-    # sf0.1 they finish inside the noise floor, so the 10× number is the
-    # one that carries scaling signal (semdedup is excluded: it reads the
-    # embeddings table, which the 10× corpus symlinks at 1×). Best-of-2
-    # like every other signal-bearing number here — a single cold sample
-    # would put one GC pause straight into the published figure (review
-    # find; the r2 false regression was exactly this).
+    # SECONDARY_10X rationale at its definition. Best-of-2 like every
+    # other signal-bearing number here — a single cold sample would put
+    # one GC pause straight into the published figure (review find; the
+    # r2 false regression was exactly this).
     secondary_10x: dict[str, float] = {}
     for _ in range(2):
-        for name in ("domain_reputation", "robots_txt_filter",
-                     "split_leakage", "crawl_schedule", "zipf_alpha",
-                     "bpe_pair_counts", "perplexity_buckets",
-                     "corpus_health"):
+        for name in SECONDARY_10X:
             t0 = time.perf_counter()
             qs[name](spark, TENX_DIR).count()
             dt = round(time.perf_counter() - t0, 3)

@@ -494,10 +494,64 @@ def test_corpus_health_matches_python_recompute(spark, sf_dir):
     assert r["n_empty"] == n_empty
     assert r["total_tokens"] == total_tokens
     assert r["distinct_texts"] == len(digests)
-    assert r["n_langs"] == len({l for _, l in raw})
+    # countDistinct ignores NULLs in both engines — so must the recompute
+    assert r["n_langs"] == len({l for _, l in raw if l is not None})
     assert r["dup_frac"] == round(
         (n_docs - n_empty - len(digests)) / (n_docs - n_empty), 6
     )
     assert r["mean_quality"] == round(qsum / qn / _HEALTH_Q, 6)
     assert r["distinct_texts"] <= n_docs - n_empty
     assert 0.0 <= r["dup_frac"] <= 1.0
+
+
+def test_corpus_health_null_text_and_null_lang_branches(spark, tmp_path):
+    """The shipped fixtures contain zero NULL texts, so every NULL guard
+    in corpus_health (is_empty, the digest/quality null-pass, n_toks → 0,
+    dup_frac's empty-exclusion, countDistinct's NULL-lang skip) is dead
+    under the oracle sweep (review find) — this synthetic corpus makes
+    each branch load-bearing: 3 NULL texts, 1 NULL lang, and one
+    duplicated text among 4 non-empty docs."""
+    import duckdb
+
+    from ankiocr_spark.datapipe.textstats import _HEALTH_Q, q_corpus_health
+
+    rows = [
+        (1, "alpha beta beta", "en"),
+        (2, "alpha beta beta", "de"),     # exact duplicate of doc 1
+        (3, "gamma", None),               # NULL lang, counted doc
+        (4, "delta epsilon", "fr"),
+        (5, None, "en"),                  # NULL text
+        (6, None, None),                  # NULL text AND lang
+        (7, None, "xx"),
+    ]
+    duckdb.sql(
+        "COPY (SELECT * FROM (VALUES "
+        + ", ".join(
+            "(%d, %s, %s)"
+            % (i, "NULL" if t is None else "'%s'" % t,
+               "NULL" if l is None else "'%s'" % l)
+            for i, t, l in rows
+        )
+        + ") AS t(doc_id, text, lang)) TO '%s' (FORMAT parquet)"
+        % (tmp_path / "documents.parquet")
+    )
+
+    r = q_corpus_health(spark, str(tmp_path)).collect()[0]
+    assert r["n_docs"] == 7
+    assert r["n_empty"] == 3
+    assert r["total_tokens"] == 3 + 3 + 1 + 2
+    assert r["distinct_texts"] == 3            # dup collapses, NULLs skipped
+    assert r["n_langs"] == 4                   # en, de, fr, xx — NULL skipped
+    assert r["dup_frac"] == round((4 - 3) / 4, 6)
+
+    def q(text):
+        toks = text.split(" ")
+        return round(
+            round(0.4 * min(1.0, len(toks) / 100.0)
+                  + 0.6 * (len(set(toks)) / len(toks)), 6) * _HEALTH_Q
+        )
+
+    want_mean = round(
+        sum(q(t) for _, t, _ in rows if t is not None) / 4 / _HEALTH_Q, 6
+    )
+    assert r["mean_quality"] == want_mean
