@@ -40,17 +40,17 @@ _MODULES = (ops, pdftext, warc, links, streaming, bucketing, checkpoint,
 #: empty so nothing lands in the window implicitly). Composition, per
 #: VERDICT r4 #2 (name every rotation) and ADVICE r4 (headline-benched
 #: queries belong inside the window):
-#:   - 13 NEW queries (never driver-checked): curation_pipeline_e2e,
+#:   - 14 NEW queries (never driver-checked): curation_pipeline_e2e,
 #:     recrawl_e2e, classifier_train, cluster_keeper_staged, semdedup,
 #:     domain_reputation, robots_txt_filter, split_leakage,
 #:     crawl_schedule, zipf_alpha, bpe_pair_counts, perplexity_buckets,
-#:     corpus_health;
+#:     corpus_health, gate_funnel;
 #:   - 6 RETURNING headline-bench queries rotated back in from the tail
 #:     (each r2+r3 driver-green): dedup_exact, dedup_minhash_lsh,
 #:     ann_topk_bruteforce, token_count, quality_score, group_concat;
 #:   - flagship_extract + training_pipeline_e2e (headline, kept);
-#:   - the remaining 29 r4-green front entries, kept for a second
-#:     consecutive driver round (13 + 6 + 2 headline + 29 = 50).
+#:   - the remaining 28 r4-green front entries, kept for a second
+#:     consecutive driver round (14 + 6 + 2 headline + 28 = 50).
 #: Rotated OUT to make room (each r4-green; all still swept by
 #: tests/test_oracle_parity.py and scripts/check_oracles.py):
 #:   run_metrics, outlinks_pagerank, stream_host_tracker, merge_upsert
@@ -68,7 +68,9 @@ _MODULES = (ops, pdftext, warc, links, streaming, bucketing, checkpoint,
 #:   plus topk_per_group and quality_percentiles (r4-green singletons,
 #:   code untouched, rotated to fit bpe_pair_counts and
 #:   perplexity_buckets), plus host_length_rank (r4-green thin window
-#:   over the flagship output, rotated to fit corpus_health).
+#:   over the flagship output, rotated to fit corpus_health), plus
+#:   robots_policy (r4-green; the in-window robots_txt_filter exercises
+#:   a strictly richer robots gate — rotated to fit gate_funnel).
 _FRONT = [
     # new this round — must get their first driver row
     "curation_pipeline_e2e",
@@ -84,6 +86,7 @@ _FRONT = [
     "bpe_pair_counts",
     "perplexity_buckets",
     "corpus_health",
+    "gate_funnel",
     # returning headline-bench queries (ADVICE r4)
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -111,7 +114,6 @@ _FRONT = [
     "train_val_split",
     "crossdedup_lsh",
     "rag_chunk",
-    "robots_policy",
     "ann_recall",
     "boilerplate_strip",
     "vocab_topn",
@@ -141,6 +143,7 @@ _TAIL = [
     "topk_per_group",
     "quality_percentiles",
     "host_length_rank",
+    "robots_policy",
     "run_metrics",
     "outlinks_pagerank",
     "stream_host_tracker",

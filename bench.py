@@ -82,6 +82,7 @@ SECONDARY = [
     "bpe_pair_counts",
     "perplexity_buckets",
     "corpus_health",
+    "gate_funnel",
 ]
 
 #: the documents-driven round-5 ops ALSO timed at the 10× corpus — at
@@ -100,6 +101,7 @@ SECONDARY_10X = [
     "bpe_pair_counts",
     "perplexity_buckets",
     "corpus_health",
+    "gate_funnel",
 ]
 
 

@@ -102,6 +102,7 @@ AUDIT = [
     "bpe_pair_counts",
     "perplexity_buckets",
     "corpus_health",
+    "gate_funnel",
 ]
 
 #: caveats rendered under the flags line — mostly for iterative queries,
