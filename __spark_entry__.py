@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from ankiocr_spark import bucketing, checkpoint, links, ops, pdftext, streaming, warc  # noqa: E402
+from ankiocr_spark import bucketing, checkpoint, links, metadata, ops, pdftext, streaming, warc  # noqa: E402
 from ankiocr_spark.datapipe import (  # noqa: E402
     analytics, curation, dedup, multimodal, packing, pipeline, relational,
     similarity, textstats,
@@ -34,23 +34,23 @@ from ankiocr_spark.session import ensure_workers_can_import  # noqa: E402
 
 _MODULES = (ops, pdftext, warc, links, streaming, bucketing, checkpoint,
             dedup, similarity, textstats, multimodal, analytics, relational,
-            pipeline, curation, packing)
+            pipeline, curation, packing, metadata)
 
 #: The round-5 window, EXACTLY 50 entries (middle block intentionally
 #: empty so nothing lands in the window implicitly). Composition, per
 #: VERDICT r4 #2 (name every rotation) and ADVICE r4 (headline-benched
 #: queries belong inside the window):
-#:   - 14 NEW queries (never driver-checked): curation_pipeline_e2e,
+#:   - 16 NEW queries (never driver-checked): curation_pipeline_e2e,
 #:     recrawl_e2e, classifier_train, cluster_keeper_staged, semdedup,
 #:     domain_reputation, robots_txt_filter, split_leakage,
 #:     crawl_schedule, zipf_alpha, bpe_pair_counts, perplexity_buckets,
-#:     corpus_health, gate_funnel;
+#:     corpus_health, gate_funnel, page_metadata, html_tables;
 #:   - 6 RETURNING headline-bench queries rotated back in from the tail
 #:     (each r2+r3 driver-green): dedup_exact, dedup_minhash_lsh,
 #:     ann_topk_bruteforce, token_count, quality_score, group_concat;
 #:   - flagship_extract + training_pipeline_e2e (headline, kept);
-#:   - the remaining 28 r4-green front entries, kept for a second
-#:     consecutive driver round (14 + 6 + 2 headline + 28 = 50).
+#:   - the remaining 26 r4-green front entries, kept for a second
+#:     consecutive driver round (16 + 6 + 2 headline + 26 = 50).
 #: Rotated OUT to make room (each r4-green; all still swept by
 #: tests/test_oracle_parity.py and scripts/check_oracles.py):
 #:   run_metrics, outlinks_pagerank, stream_host_tracker, merge_upsert
@@ -70,7 +70,9 @@ _MODULES = (ops, pdftext, warc, links, streaming, bucketing, checkpoint,
 #:   perplexity_buckets), plus host_length_rank (r4-green thin window
 #:   over the flagship output, rotated to fit corpus_health), plus
 #:   robots_policy (r4-green; the in-window robots_txt_filter exercises
-#:   a strictly richer robots gate — rotated to fit gate_funnel).
+#:   a strictly richer robots gate — rotated to fit gate_funnel), plus
+#:   multimodal_frame_sample and ann_recall (r4-green singletons, code
+#:   untouched in r5, rotated to fit page_metadata and html_tables).
 _FRONT = [
     # new this round — must get their first driver row
     "curation_pipeline_e2e",
@@ -87,6 +89,8 @@ _FRONT = [
     "perplexity_buckets",
     "corpus_health",
     "gate_funnel",
+    "page_metadata",
+    "html_tables",
     # returning headline-bench queries (ADVICE r4)
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -98,7 +102,9 @@ _FRONT = [
     "flagship_extract",
     "training_pipeline_e2e",
     # r4-green front entries kept for a second consecutive round
-    "multimodal_frame_sample",
+    # (multimodal_frame_sample and ann_recall — both r4-green, code
+    # untouched in r5, no composition partners — rotated to the tail to
+    # fit page_metadata and html_tables)
     "dedup_paragraph",
     "dedup_cc_clusters",
     "pii_redact",
@@ -114,7 +120,6 @@ _FRONT = [
     "train_val_split",
     "crossdedup_lsh",
     "rag_chunk",
-    "ann_recall",
     "boilerplate_strip",
     "vocab_topn",
     "bm25_topk",
@@ -134,6 +139,8 @@ _FRONT = [
 #: locally every round by the full-export parity sweep.
 _TAIL = [
     # rotated out this round (r4-green; rationale in the _FRONT note)
+    "multimodal_frame_sample",
+    "ann_recall",
     "pricing_summary",
     "regional_revenue",
     "json_props_histogram",

@@ -83,6 +83,8 @@ SECONDARY = [
     "perplexity_buckets",
     "corpus_health",
     "gate_funnel",
+    "page_metadata",
+    "html_tables",
 ]
 
 #: the documents-driven round-5 ops ALSO timed at the 10× corpus — at
@@ -102,6 +104,8 @@ SECONDARY_10X = [
     "perplexity_buckets",
     "corpus_health",
     "gate_funnel",
+    "page_metadata",
+    "html_tables",
 ]
 
 

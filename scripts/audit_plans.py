@@ -103,6 +103,8 @@ AUDIT = [
     "perplexity_buckets",
     "corpus_health",
     "gate_funnel",
+    "page_metadata",
+    "html_tables",
 ]
 
 #: caveats rendered under the flags line — mostly for iterative queries,

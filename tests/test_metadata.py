@@ -1,0 +1,103 @@
+"""Structured extraction (head metadata + HTML tables): values, plan shape.
+
+Value parity vs DuckDB is covered by the full-export sweep in
+test_oracle_parity.py; here we pin the properties the oracle can't see —
+plan shape (scan-fused, zero Exchange) and the template-inversion
+invariants (extraction is the exact inverse of the synthesis template).
+"""
+
+import duckdb
+import pytest
+
+from ankiocr_spark.metadata import (
+    _TABLE_TOKENS,
+    _TITLE_WORDS,
+    q_html_tables,
+    q_page_metadata,
+)
+from tests.conftest import SF_DIR
+
+
+def _executed_plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_page_metadata_plan_is_shuffle_free(spark):
+    """Head extraction must fuse into the scan — zero Exchange — so at
+    10^12 pages the stage is scan-bound."""
+    plan = _executed_plan(q_page_metadata(spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert "MapInPandas" not in plan  # regex path, not the Python kernel
+
+
+def test_html_tables_plan_is_generate_only(spark):
+    """Table explode adds one Generate but still no Exchange: the row
+    multiplier is rows-per-table, never a shuffle."""
+    plan = _executed_plan(q_html_tables(spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert "Generate" in plan
+
+
+def test_page_metadata_inverts_the_template(spark):
+    """Extraction must recover exactly what the template embedded:
+    title = stripped first _TITLE_WORDS words, canonical = the fetched
+    url (is_canonical always 1 for the synthesized corpus)."""
+    rows = q_page_metadata(spark, SF_DIR).collect()
+    docs = {
+        f"https://example.org/doc/{d}": t
+        for d, t in duckdb.sql(
+            f"SELECT doc_id, text FROM read_parquet('{SF_DIR}/documents.parquet') "
+            "WHERE text IS NOT NULL"
+        ).fetchall()
+    }
+    assert len(rows) == len(docs)
+    for r in rows:
+        text = docs[r["url"]]
+        want_title = " ".join(text.split(" ")[:_TITLE_WORDS])
+        for ch in '"<>&':
+            want_title = want_title.replace(ch, "")
+        assert r["title"] == want_title + " | example.org"
+        assert r["canonical_url"] == r["url"]
+        assert r["is_canonical"] == 1
+        assert r["meta_description"].startswith(want_title[:20])
+
+
+def test_html_tables_rows_and_cells(spark):
+    """Every non-null doc yields exactly _TABLE_TOKENS rows of 3 cells,
+    row i carrying (doc_id, lang, token_i)."""
+    out = q_html_tables(spark, SF_DIR).collect()
+    docs = dict(
+        duckdb.sql(
+            f"SELECT doc_id, (lang, text) FROM read_parquet('{SF_DIR}/documents.parquet') "
+            "WHERE text IS NOT NULL"
+        ).fetchall()
+    )
+    assert len(out) == _TABLE_TOKENS * len(docs)
+    for r in out:
+        doc_id = int(r["url"].rsplit("/", 1)[1])
+        lang, text = docs[doc_id]
+        toks = text.split(" ")
+        tok = toks[r["row_idx"]] if r["row_idx"] < len(toks) else ""
+        assert r["n_cells"] == 3
+        want = " ".join(x for x in (str(doc_id), lang, tok) if x != "")
+        assert r["row_text"] == want
+
+
+@pytest.mark.parametrize("q", [q_page_metadata, q_html_tables])
+def test_null_text_rows_are_excluded(spark, tmp_path, q):
+    """NULL-text pages (unfetched/binary docs) must not produce metadata
+    or table rows — mirrored by the oracle's WHERE text IS NOT NULL."""
+    import pandas as pd
+
+    p = tmp_path / "sf"
+    p.mkdir()
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": ["alpha beta gamma delta epsilon", None],
+            "lang": ["eng", "deu"],
+            "n_chars": [30, 0],
+        }
+    ).to_parquet(p / "documents.parquet")
+    got = q(spark, str(p)).collect()
+    assert {r["url"] for r in got} == {"https://example.org/doc/1"}
