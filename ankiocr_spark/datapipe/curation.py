@@ -345,6 +345,17 @@ _MIX_MOD = 4294967296
 _MIX_REDUCE = 2147483648  # 2^31 — keeps (doc_id % R) * MULT < 2^63
 
 
+def sql_mix_draw(col: str) -> str:
+    """DuckDB twin of `mix_draw` over id column *col* — the ONE copy every
+    oracle interpolates (domain_mix_sample, lm_perplexity's sample gate,
+    the curation e2e, the gate funnel), so a Spark-side constant change
+    cannot silently outrun a hand-mirrored SQL fragment (r5 review)."""
+    return (
+        f"((((({col}) % {_MIX_REDUCE} + {_MIX_REDUCE}) % {_MIX_REDUCE})"
+        f" * {_MIX_MULT}) % {_MIX_MOD})::DOUBLE / {float(_MIX_MOD)}::DOUBLE"
+    )
+
+
 def mix_draw(doc_id_col):
     """Deterministic uniform draw in [0, 1) from a document id — overflow-
     safe for the full bigint id range (see _MIX_REDUCE note above), and
@@ -420,9 +431,7 @@ rated AS (
                w * ({MIX_BUDGET_FRAC}::DOUBLE * n_total) / n_lang) AS rate
   FROM d JOIN counts USING (lang) JOIN tgt USING (lang))
 SELECT doc_id, lang, round(rate, 6) AS rate,
-       ((((doc_id % {_MIX_REDUCE} + {_MIX_REDUCE}) % {_MIX_REDUCE})
-          * {_MIX_MULT}) % {_MIX_MOD})::DOUBLE
-         / {float(_MIX_MOD)}::DOUBLE
+       {sql_mix_draw("doc_id")}
          < rate AS sampled
 FROM rated
 """
@@ -637,8 +646,7 @@ scored AS (
   FROM lp GROUP BY doc_id, lang),
 samp AS (
   SELECT * FROM scored
-  WHERE ((((doc_id % {_MIX_REDUCE} + {_MIX_REDUCE}) % {_MIX_REDUCE})
-           * {_MIX_MULT}) % {_MIX_MOD})::DOUBLE / {float(_MIX_MOD)}::DOUBLE
+  WHERE {sql_mix_draw("doc_id")}
         < {PPL_SAMPLE_RATE}::DOUBLE),
 ranked AS (
   SELECT lang, avg_logprob,
@@ -1000,6 +1008,27 @@ C4_PUNCT_MOD = 2
 _C4_CTA = "click here now"
 _C4_JS_LINE = "javascript is required to view this site please enable it today"
 
+#: DuckDB twin of `c4_line_ok` (lambda variable ``x``) — the ONE copy every
+#: oracle interpolates (ORACLE_C4, the curation e2e, the gate funnel), built
+#: from the same constants as the Spark expression so a rule change cannot
+#: silently outrun a hand-mirrored SQL fragment (r5 review).
+SQL_C4_LINE_OK = (
+    "list_contains(["
+    + ", ".join(f"'{t}'" for t in C4_TERMINALS)
+    + "], substr(x, length(x), 1))"
+    + f" AND len(str_split(x, ' ')) >= {C4_MIN_LINE_WORDS}"
+    + " AND NOT contains(x, 'javascript')"
+)
+
+
+def sql_c4_doc_gate(col: str) -> str:
+    """DuckDB twin of the C4 doc-level gate (lorem-ipsum / curly-brace
+    rules) over text column *col* — same single-copy discipline as
+    `SQL_C4_LINE_OK`."""
+    return (
+        f"NOT contains({col}, 'lorem ipsum') AND NOT contains({col}, '{{')"
+    )
+
 
 def c4_lines(body_col, doc_id_col):
     """The injected line structure shared by q_c4_filter and the composed
@@ -1078,16 +1107,12 @@ WITH pages AS (
   FROM documents WHERE text IS NOT NULL),
 kept AS (
   SELECT doc_id, text, len(ls)::BIGINT AS n_lines,
-         list_filter(ls, x ->
-           list_contains(['.', '!', '?'], substr(x, length(x), 1))
-           AND len(str_split(x, ' ')) >= {C4_MIN_LINE_WORDS}
-           AND NOT contains(x, 'javascript')) AS ks
+         list_filter(ls, x -> {SQL_C4_LINE_OK}) AS ks
   FROM pages)
 SELECT doc_id, n_lines, len(ks)::BIGINT AS n_kept,
        -- array_to_string([]) is NULL in DuckDB but '' in Spark's array_join
        coalesce(array_to_string(ks, chr(10)), '') AS clean_text,
-       (len(ks) > 0 AND NOT contains(text, 'lorem ipsum')
-        AND NOT contains(text, '{{')) AS doc_keep
+       (len(ks) > 0 AND {sql_c4_doc_gate("text")}) AS doc_keep
 FROM kept
 """
 

@@ -341,11 +341,11 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _oracle_curation_pipeline() -> str:
     from .curation import (
-        _C4_CTA, _C4_JS_LINE, BAD_WORDS, C4_JS_MOD, C4_MIN_LINE_WORDS,
-        C4_PUNCT_MOD, _MIX_MOD, _MIX_MULT, _MIX_REDUCE,
+        _C4_CTA, _C4_JS_LINE, BAD_WORDS, C4_JS_MOD, C4_PUNCT_MOD,
+        SQL_C4_LINE_OK, sql_c4_doc_gate, sql_mix_draw,
     )
     from .packing import PACK_CHUNK_TOKENS
-    from .textstats import CLF_HALF, CLF_MOD
+    from .textstats import SQL_CLF_TOKEN_WEIGHT
 
     bad = "[" + ", ".join(f"'{w}'" for w in BAD_WORDS) + "]"
     rate_case = "CASE lang " + " ".join(
@@ -364,16 +364,13 @@ c4 AS (
              '{_C4_CTA}',
              CASE WHEN doc_id % {C4_JS_MOD} = 0 THEN '{_C4_JS_LINE}' END
            ], x -> x IS NOT NULL),
-           x -> list_contains(['.', '!', '?'], substr(x, length(x), 1))
-                AND len(str_split(x, ' ')) >= {C4_MIN_LINE_WORDS}
-                AND NOT contains(x, 'javascript')) AS ks
+           x -> {SQL_C4_LINE_OK}) AS ks
   FROM ext),
 c4gated AS (
   SELECT doc_id, lang,
          coalesce(array_to_string(ks, chr(10)), '') AS clean_text
   FROM c4
-  WHERE len(ks) > 0 AND NOT contains(body, 'lorem ipsum')
-    AND NOT contains(body, '{{')),
+  WHERE len(ks) > 0 AND {sql_c4_doc_gate("body")}),
 toks AS (
   SELECT doc_id, lang,
          list_filter(str_split(clean_text, ' '), x -> x <> '') AS toks
@@ -382,14 +379,11 @@ gated AS (
   SELECT doc_id, lang, len(toks)::BIGINT AS n FROM toks
   WHERE len(list_filter(toks, x -> list_contains({bad}, x))) = 0
     AND list_sum(list_transform(toks,
-          t -> (('0x' || substr(md5(t), 1, 15))::BIGINT % {CLF_MOD})
-               - {CLF_HALF}))::BIGINT >= 0),
+          t -> {SQL_CLF_TOKEN_WEIGHT}))::BIGINT >= 0),
 sampled AS (
   SELECT doc_id, n FROM gated
   WHERE {rate_case} IS NOT NULL
-    AND ((((doc_id % {_MIX_REDUCE} + {_MIX_REDUCE}) % {_MIX_REDUCE})
-           * {_MIX_MULT}) % {_MIX_MOD})::DOUBLE
-          / {float(_MIX_MOD)}::DOUBLE < {rate_case}),
+    AND {sql_mix_draw("doc_id")} < {rate_case}),
 off AS (
   SELECT doc_id, n,
          coalesce(sum(n) OVER (ORDER BY doc_id
@@ -498,10 +492,10 @@ def q_gate_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _oracle_gate_funnel() -> str:
     from .curation import (
-        _BAD_LIST, _C4_CTA, _C4_JS_LINE, _MIX_MOD, _MIX_MULT, _MIX_REDUCE,
-        C4_JS_MOD, C4_MIN_LINE_WORDS, C4_PUNCT_MOD,
+        _BAD_LIST, _C4_CTA, _C4_JS_LINE, C4_JS_MOD, C4_PUNCT_MOD,
+        SQL_C4_LINE_OK, sql_c4_doc_gate, sql_mix_draw,
     )
-    from .textstats import CLF_HALF, CLF_MOD
+    from .textstats import SQL_CLF_TOKEN_WEIGHT
 
     mix_case = " ".join(
         f"WHEN '{k}' THEN {v}::DOUBLE"
@@ -519,19 +513,13 @@ WITH staged AS (
   FROM documents WHERE text IS NOT NULL),
 verd AS (
   SELECT
-    (len(list_filter(ls, x ->
-       list_contains(['.', '!', '?'], substr(x, length(x), 1))
-       AND len(str_split(x, ' ')) >= {C4_MIN_LINE_WORDS}
-       AND NOT contains(x, 'javascript'))) > 0
-     AND NOT contains(text, 'lorem ipsum')
-     AND NOT contains(text, '{{')) AS c4,
+    (len(list_filter(ls, x -> {SQL_C4_LINE_OK})) > 0
+     AND {sql_c4_doc_gate("text")}) AS c4,
     (len(list_filter(toks, x -> list_contains({_BAD_LIST}, x))) = 0) AS bad,
     (coalesce(list_sum(list_transform(toks,
-       t -> (('0x' || substr(md5(t), 1, 15))::BIGINT % {CLF_MOD})
-            - {CLF_HALF})), 0) >= 0) AS clf,
+       t -> {SQL_CLF_TOKEN_WEIGHT})), 0) >= 0) AS clf,
     coalesce(
-      ((((doc_id % {_MIX_REDUCE} + {_MIX_REDUCE}) % {_MIX_REDUCE})
-         * {_MIX_MULT}) % {_MIX_MOD})::DOUBLE / {float(_MIX_MOD)}::DOUBLE
+      {sql_mix_draw("doc_id")}
         < CASE lang {mix_case} END,
       false) AS mix
   FROM staged)

@@ -794,6 +794,14 @@ FROM m
 CLF_HALF = 1000
 CLF_MOD = 2 * CLF_HALF + 1
 
+#: DuckDB twin of `clf_token_weight` (lambda variable ``t``) — the ONE
+#: copy every oracle interpolates (ORACLE_CLASSIFIER, the curation e2e,
+#: the gate funnel), so a weight-formula change cannot silently outrun a
+#: hand-mirrored SQL fragment (r5 review).
+SQL_CLF_TOKEN_WEIGHT = (
+    f"(('0x' || substr(md5(t), 1, 15))::BIGINT % {CLF_MOD}) - {CLF_HALF}"
+)
+
 
 def clf_token_weight(t):
     """Hash-derived integer token weight in [-CLF_HALF, +CLF_HALF] — the
@@ -858,8 +866,7 @@ summed AS (
   SELECT doc_id,
          len(toks)::BIGINT AS n_tokens,
          list_sum(list_transform(toks,
-           t -> (('0x' || substr(md5(t), 1, 15))::BIGINT % {CLF_MOD})
-                - {CLF_HALF}))::BIGINT AS wsum
+           t -> {SQL_CLF_TOKEN_WEIGHT}))::BIGINT AS wsum
   FROM toks WHERE len(toks) > 0)
 SELECT doc_id, n_tokens,
        round(wsum / ({CLF_HALF}.0::DOUBLE * n_tokens), 6) AS clf_score,

@@ -51,10 +51,15 @@ _TABLE_TOKENS = 3
 
 def _meta_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → (url, html BINARY) with a metadata-rich head and one
-    3-row token table in the body. NULL text → NULL html (concat-null),
-    matching the corpus' null-page semantics."""
+    3-row token table in the body. NULL-text rows are excluded up front
+    (no page is synthesized for them — `test_null_text_rows_are_excluded`
+    pins the row count), and every text fragment embedded in the template
+    passes through the ``_STRIP_CLASS`` escape-on-write strip so the
+    extraction regexes stay exact inverses of the template even for
+    corpora whose text contains markup characters."""
     docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     toks = F.split(F.col("text"), " ")
+    body = F.regexp_replace(F.col("text"), _STRIP_CLASS, "")
     title = F.regexp_replace(
         F.array_join(F.slice(toks, 1, _TITLE_WORDS), " "), _STRIP_CLASS, ""
     )
@@ -69,7 +74,11 @@ def _meta_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit("</td><td>"),
                 F.col("lang"),
                 F.lit("</td><td>"),
-                F.coalesce(F.element_at(toks, i + 1), F.lit("")),
+                F.regexp_replace(
+                    F.coalesce(F.element_at(toks, i + 1), F.lit("")),
+                    _STRIP_CLASS,
+                    "",
+                ),
                 F.lit("</td></tr>"),
             )
             for i in range(_TABLE_TOKENS)
@@ -85,7 +94,7 @@ def _meta_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit('"></head><body><h1>'),
         title,
         F.lit("</h1><p>"),
-        F.col("text"),
+        body,
         F.lit("</p><table>"),
         tr,
         F.lit("</table></body></html>"),
@@ -161,10 +170,10 @@ pages AS (
          || '"><link rel="canonical" href="' || '{URL_PREFIX}' || doc_id
          || '"></head><body><h1>'
          || regexp_replace(array_to_string(list_slice(str_split(text, ' '), 1, {_TITLE_WORDS}), ' '), '{_STRIP_CLASS}', '', 'g')
-         || '</h1><p>' || text || '</p><table>'
-         || '<tr><td>' || doc_id || '</td><td>' || lang || '</td><td>' || coalesce(str_split(text, ' ')[1], '') || '</td></tr>'
-         || '<tr><td>' || doc_id || '</td><td>' || lang || '</td><td>' || coalesce(str_split(text, ' ')[2], '') || '</td></tr>'
-         || '<tr><td>' || doc_id || '</td><td>' || lang || '</td><td>' || coalesce(str_split(text, ' ')[3], '') || '</td></tr>'
+         || '</h1><p>' || regexp_replace(text, '{_STRIP_CLASS}', '', 'g') || '</p><table>'
+         || '<tr><td>' || doc_id || '</td><td>' || lang || '</td><td>' || regexp_replace(coalesce(str_split(text, ' ')[1], ''), '{_STRIP_CLASS}', '', 'g') || '</td></tr>'
+         || '<tr><td>' || doc_id || '</td><td>' || lang || '</td><td>' || regexp_replace(coalesce(str_split(text, ' ')[2], ''), '{_STRIP_CLASS}', '', 'g') || '</td></tr>'
+         || '<tr><td>' || doc_id || '</td><td>' || lang || '</td><td>' || regexp_replace(coalesce(str_split(text, ' ')[3], ''), '{_STRIP_CLASS}', '', 'g') || '</td></tr>'
          || '</table></body></html>' AS html
   FROM documents WHERE text IS NOT NULL)
 """

@@ -83,6 +83,46 @@ def test_html_tables_rows_and_cells(spark):
         assert r["row_text"] == want
 
 
+def test_markup_in_text_cannot_break_the_template_inverse(spark, tmp_path):
+    """Text containing markup ('<table>', '</tr>', '<td>', quotes) must
+    not corrupt the extraction: every embedded fragment passes the
+    _STRIP_CLASS escape-on-write strip, so the greedy table regex and the
+    '</tr>' split still see exactly the synthesized table. The shipped
+    fixtures happen to contain no markup characters, so only this planted
+    corpus exercises the invariant (oracle parity can't — both sides
+    share the template)."""
+    import pandas as pd
+
+    evil = '<table><tr><td>x</td></tr></table> "quoted" & more words here'
+    p = tmp_path / "sf"
+    p.mkdir()
+    pd.DataFrame(
+        {
+            "doc_id": [7],
+            "text": [evil],
+            "lang": ["eng"],
+            "n_chars": [len(evil)],
+        }
+    ).to_parquet(p / "documents.parquet")
+
+    meta = q_page_metadata(spark, str(p)).collect()
+    assert len(meta) == 1
+    stripped_words = [
+        w
+        for w in "".join(
+            c for c in evil if c not in '"<>&'
+        ).split(" ")[:_TITLE_WORDS]
+    ]
+    assert meta[0]["title"] == " ".join(stripped_words) + " | example.org"
+    assert meta[0]["is_canonical"] == 1
+
+    tbl = q_html_tables(spark, str(p)).collect()
+    assert len(tbl) == _TABLE_TOKENS
+    for r in tbl:
+        assert r["n_cells"] == 3
+        assert "<" not in r["row_text"] and ">" not in r["row_text"]
+
+
 @pytest.mark.parametrize("q", [q_page_metadata, q_html_tables])
 def test_null_text_rows_are_excluded(spark, tmp_path, q):
     """NULL-text pages (unfetched/binary docs) must not produce metadata
