@@ -1168,6 +1168,89 @@ FROM toks
 
 
 # ---------------------------------------------------------------------------
+# Mojibake / encoding-damage detection
+# ---------------------------------------------------------------------------
+
+#: deterministic planted corruption (the C4 injection discipline — the
+#: fixture corpus is clean ascii-ish text, so the detector gets a slice to
+#: bite): every MOJI_DOUBLE_MOD-th doc gains a double-encoded UTF-8 word
+#: (' cafÃ©', the classic latin-1-read-as-utf-8 damage) and every
+#: MOJI_FFFD_MOD-th additionally a U+FFFD replacement character (a lossy
+#: transcode). Both rates are corpus-realistic for raw Common Crawl.
+MOJI_DOUBLE_MOD = 5
+MOJI_FFFD_MOD = 10
+_MOJI_WORD = " caf\u00c3\u00a9"  # e-acute double-encoded
+_FFFD = "\ufffd"
+#: UTF-8-double-encoding signature: a 'Ã'/'Â' lead byte (as a codepoint)
+#: followed by a Latin-1 continuation-range codepoint — the exact shape
+#: latin-1-decoded UTF-8 multibyte sequences collapse to. The SAME pattern
+#: string feeds both engines (Java regex and RE2 agree on literal classes).
+_MOJI_PAT = "[\u00c2\u00c3][\u0080-\u00bf]"
+
+
+def q_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-damage detection: count U+FFFD replacement characters
+    (lossy transcodes) and double-encoded UTF-8 signatures ('Ã©'-style
+    lead+continuation pairs) per document — the standard webtext health
+    gate for charset-mangled pages, which no downstream tokenizer can
+    repair and every curation pipeline drops or re-fetches.
+
+    Scale shape: a pure codegen projection fused into the scan — two
+    length-difference counts (replace / regexp_replace), zero Exchange,
+    zero joins; plan-asserted. Integer counts end to end.
+
+    Reference analog: `ocr.py:141-149` (clean_ocr_text) strips OCR
+    artifact characters from recognized text; mojibake is the crawl-side
+    artifact class, detected rather than silently stripped so the fetch
+    layer can re-decode."""
+    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    corrupted = F.concat(
+        F.col("text"),
+        F.when(
+            F.pmod(F.col("doc_id"), MOJI_DOUBLE_MOD) == 0, F.lit(_MOJI_WORD)
+        ).otherwise(F.lit("")),
+        F.when(
+            F.pmod(F.col("doc_id"), MOJI_FFFD_MOD) == 0, F.lit(" " + _FFFD)
+        ).otherwise(F.lit("")),
+    )
+    staged = docs.select("doc_id", corrupted.alias("s"))
+    n_fffd = (
+        F.length("s") - F.length(F.regexp_replace("s", _FFFD, ""))
+    ).cast("bigint")
+    n_double = (
+        (F.length("s") - F.length(F.regexp_replace("s", _MOJI_PAT, "")))
+        / F.lit(2)
+    ).cast("bigint")
+    return staged.select(
+        "doc_id",
+        n_fffd.alias("n_fffd"),
+        n_double.alias("n_double_enc"),
+        ((n_fffd == 0) & (n_double == 0)).cast("int").alias("is_clean"),
+    )
+
+
+ORACLE_MOJIBAKE = f"""
+WITH staged AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN ((doc_id % {MOJI_DOUBLE_MOD} + {MOJI_DOUBLE_MOD}) % {MOJI_DOUBLE_MOD}) = 0
+                 THEN ' caf' || chr(195) || chr(169) ELSE '' END
+         || CASE WHEN ((doc_id % {MOJI_FFFD_MOD} + {MOJI_FFFD_MOD}) % {MOJI_FFFD_MOD}) = 0
+                 THEN ' ' || chr(65533) ELSE '' END AS s
+  FROM documents WHERE text IS NOT NULL),
+counted AS (
+  SELECT doc_id,
+         (length(s) - length(replace(s, chr(65533), '')))::BIGINT AS n_fffd,
+         ((length(s) - length(regexp_replace(s, '{_MOJI_PAT}', '', 'g'))) // 2)::BIGINT
+           AS n_double_enc
+  FROM staged)
+SELECT doc_id, n_fffd, n_double_enc,
+       CASE WHEN n_fffd = 0 AND n_double_enc = 0 THEN 1 ELSE 0 END AS is_clean
+FROM counted
+"""
+
+
+# ---------------------------------------------------------------------------
 # Domain reputation — host-level quality gating (FineWeb-style)
 # ---------------------------------------------------------------------------
 
@@ -1522,6 +1605,7 @@ QUERIES = {
     "domain_reputation": q_domain_reputation,
     "robots_txt_filter": q_robots_txt_filter,
     "crawl_schedule": q_crawl_schedule,
+    "mojibake": q_mojibake,
 }
 
 ORACLE_SQL = {
@@ -1540,4 +1624,5 @@ ORACLE_SQL = {
     "domain_reputation": ORACLE_DOMAIN_REP,
     "robots_txt_filter": _build_oracle_robots_txt(),
     "crawl_schedule": _build_oracle_crawl_schedule(),
+    "mojibake": ORACLE_MOJIBAKE,
 }

@@ -25,6 +25,9 @@ Scale notes:
   - html_tables: one Generate (posexplode of the ``</tr>`` split, ~3 rows
     out per page) on top of the same codegen projection; zero Exchange.
     The row multiplier is bounded by rows-per-table, not corpus size.
+  - lang_mismatch: same zero-Exchange scan-fused shape as page_metadata.
+  - canonical_collapse: ONE partial-aggregatable hash exchange on the
+    canonical key (count/min/sum all map-side combined).
   - Real crawl HTML is messier than any regex — the production kernel
     path (`kernel.py`) owns arbitrary markup; these operators own the
     regular-markup fast path (sitemaps, schema.org tables, templated
@@ -47,6 +50,14 @@ _STRIP_CLASS = '["<>&]'
 _TITLE_WORDS = 4
 _DESC_CHARS = 120
 _TABLE_TOKENS = 3
+#: canonical-link fan-in: every _CANON_GROUP consecutive doc ids share one
+#: canonical target (print/AMP/tracking variants of the same page), so the
+#: canonical-collapse group shape is non-trivial and value-oracled.
+_CANON_GROUP = 3
+#: every _LANG_NOISE_MOD-th page declares a wrong html@lang — the ~10% of
+#: real crawl pages whose lang attribute disagrees with detected language.
+_LANG_NOISE_MOD = 7
+_LANG_NOISE = "zxx"  # ISO 639-2: "no linguistic content"
 
 
 def _meta_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -60,6 +71,10 @@ def _meta_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     toks = F.split(F.col("text"), " ")
     body = F.regexp_replace(F.col("text"), _STRIP_CLASS, "")
+    html_lang = F.when(
+        F.pmod(F.col("doc_id"), _LANG_NOISE_MOD) == 0, F.lit(_LANG_NOISE)
+    ).otherwise(F.col("lang"))
+    canon_url = doc_url(F.col("doc_id") - F.pmod(F.col("doc_id"), _CANON_GROUP))
     title = F.regexp_replace(
         F.array_join(F.slice(toks, 1, _TITLE_WORDS), " "), _STRIP_CLASS, ""
     )
@@ -85,12 +100,14 @@ def _meta_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     html = F.concat(
-        F.lit("<html><head><title>"),
+        F.lit('<html lang="'),
+        html_lang,
+        F.lit('"><head><title>'),
         title,
         F.lit(' | example.org</title><meta name="description" content="'),
         desc,
         F.lit('"><link rel="canonical" href="'),
-        doc_url(F.col("doc_id")),
+        canon_url,
         F.lit('"></head><body><h1>'),
         title,
         F.lit("</h1><p>"),
@@ -102,6 +119,7 @@ def _meta_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         doc_url(F.col("doc_id")).alias("url"),
         F.encode(html, "utf-8").alias("html"),
+        F.col("lang").alias("corpus_lang"),
     )
 
 
@@ -110,7 +128,9 @@ def q_page_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the binary html column, via three scan-fused regexes (decode →
     regexp_extract ×3 in one codegen projection; `.explain` shows zero
     Exchange). The canonical-vs-fetched-url equality bit is the dedup
-    signal CDX pipelines key on before any content hash is computed."""
+    signal CDX pipelines key on before any content hash is computed —
+    pages synthesize with _CANON_GROUP-way canonical fan-in, so
+    ``is_canonical`` is 1 only for group leaders."""
     pages = _meta_pages(spark, sf_dir)
     s = F.decode(F.col("html"), "utf-8")
     canonical = F.regexp_extract(s, '<link rel="canonical" href="([^"]*)"', 1)
@@ -157,17 +177,80 @@ def q_html_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_canonical_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-url collapse — THE pre-content-hash dedup CDX pipelines
+    run: group fetched urls by their declared canonical target, count the
+    variants, and pick a deterministic representative. Upstream of any
+    MinHash/SimHash stage this removes the print/AMP/tracking-parameter
+    copies for the cost of one partial-aggregatable exchange on the
+    canonical key.
+
+    Scale shape: the head extraction stays scan-fused (zero Exchange, see
+    `q_page_metadata`); the collapse is ONE hash exchange with map-side
+    combine (count / min / sum all partial-agg). Canonical keys follow
+    host skew, which the corpus-level salting story (`diag.skew_report`)
+    already owns; group fan-in is page-variant-shaped (small constant),
+    never corpus-shaped.
+
+    Reference analog: AnkiOCR keys OCR results per note id and collapses
+    repeated media to one result row (`ocr.py:60-78` batching by note);
+    here the 'same underlying page' key is the canonical link."""
+    pages = _meta_pages(spark, sf_dir)
+    s = F.decode(F.col("html"), "utf-8")
+    canonical = F.regexp_extract(s, '<link rel="canonical" href="([^"]*)"', 1)
+    per_url = pages.select(
+        "url",
+        canonical.alias("canonical_url"),
+        (canonical == F.col("url")).cast("int").alias("is_self"),
+    )
+    return per_url.groupBy("canonical_url").agg(
+        F.count("*").cast("bigint").alias("n_urls"),
+        F.min("url").alias("rep_url"),
+        F.sum("is_self").cast("bigint").alias("n_self"),
+    )
+
+
+def q_lang_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-vs-detected language audit: extract the ``<html lang>``
+    attribute and compare it to the corpus' detected language column —
+    the standard crawl-quality signal (≈10% of real pages declare a wrong
+    or empty lang attribute; curation pipelines trust the detector and
+    use the disagreement rate to monitor template drift).
+
+    Scale shape: one scan-fused codegen projection (decode →
+    regexp_extract → comparison), zero Exchange — the same
+    scan-bound-at-10^12-pages verdict as `q_page_metadata`.
+
+    Reference analog: AnkiOCR validates its configured OCR languages
+    against what the engine actually supports before running
+    (`ocr.py:93-103` tesseract lang check); here the per-page declared
+    language is audited against the detected one."""
+    pages = _meta_pages(spark, sf_dir)
+    s = F.decode(F.col("html"), "utf-8")
+    html_lang = F.regexp_extract(s, '<html lang="([^"]*)"', 1)
+    return pages.select(
+        "url",
+        html_lang.alias("html_lang"),
+        F.col("corpus_lang"),
+        (html_lang == F.col("corpus_lang")).cast("int").alias("is_match"),
+    )
+
+
 #: the oracle rebuilds the same template inline (CTE ``pages``), then
 #: runs the same regex inverses DuckDB-side — template and extraction are
 #: exercised end-to-end, not template-vs-itself.
 _ORACLE_PAGES = f"""
 pages AS (
-  SELECT '{URL_PREFIX}' || doc_id AS url,
-         '<html><head><title>'
+  SELECT '{URL_PREFIX}' || doc_id AS url, lang AS corpus_lang,
+         '<html lang="'
+         || CASE WHEN ((doc_id % {_LANG_NOISE_MOD} + {_LANG_NOISE_MOD}) % {_LANG_NOISE_MOD}) = 0
+                 THEN '{_LANG_NOISE}' ELSE lang END
+         || '"><head><title>'
          || regexp_replace(array_to_string(list_slice(str_split(text, ' '), 1, {_TITLE_WORDS}), ' '), '{_STRIP_CLASS}', '', 'g')
          || ' | example.org</title><meta name="description" content="'
          || regexp_replace(substr(text, 1, {_DESC_CHARS}), '{_STRIP_CLASS}', '', 'g')
-         || '"><link rel="canonical" href="' || '{URL_PREFIX}' || doc_id
+         || '"><link rel="canonical" href="' || '{URL_PREFIX}'
+         || (doc_id - ((doc_id % {_CANON_GROUP} + {_CANON_GROUP}) % {_CANON_GROUP}))
          || '"></head><body><h1>'
          || regexp_replace(array_to_string(list_slice(str_split(text, ' '), 1, {_TITLE_WORDS}), ' '), '{_STRIP_CLASS}', '', 'g')
          || '</h1><p>' || regexp_replace(text, '{_STRIP_CLASS}', '', 'g') || '</p><table>'
@@ -212,12 +295,40 @@ SELECT url, e.row_idx AS row_idx,
 FROM exploded
 """
 
+ORACLE_CANONICAL_COLLAPSE = f"""
+WITH {_ORACLE_PAGES},
+per_url AS (
+  SELECT url,
+         regexp_extract(html, '<link rel="canonical" href="([^"]*)"', 1)
+           AS canonical_url
+  FROM pages)
+SELECT canonical_url,
+       count(*)::BIGINT AS n_urls,
+       min(url) AS rep_url,
+       sum(CASE WHEN canonical_url = url THEN 1 ELSE 0 END)::BIGINT AS n_self
+FROM per_url GROUP BY canonical_url
+"""
+
+ORACLE_LANG_MISMATCH = f"""
+WITH {_ORACLE_PAGES}
+SELECT url,
+       regexp_extract(html, '<html lang="([^"]*)"', 1) AS html_lang,
+       corpus_lang,
+       CASE WHEN regexp_extract(html, '<html lang="([^"]*)"', 1) = corpus_lang
+            THEN 1 ELSE 0 END AS is_match
+FROM pages
+"""
+
 QUERIES = {
     "page_metadata": q_page_metadata,
     "html_tables": q_html_tables,
+    "canonical_collapse": q_canonical_collapse,
+    "lang_mismatch": q_lang_mismatch,
 }
 
 ORACLE_SQL = {
     "page_metadata": ORACLE_PAGE_METADATA,
     "html_tables": ORACLE_HTML_TABLES,
+    "canonical_collapse": ORACLE_CANONICAL_COLLAPSE,
+    "lang_mismatch": ORACLE_LANG_MISMATCH,
 }

@@ -692,3 +692,28 @@ def test_perplexity_buckets_corpus_side_is_broadcast(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_mojibake_detects_exactly_the_planted_damage(spark, sf_dir):
+    """The planted corruption schedule is fully recovered: every
+    MOJI_DOUBLE_MOD-th doc has exactly one double-encoding pair, every
+    MOJI_FFFD_MOD-th exactly one replacement char, everything else is
+    clean (the fixture corpus itself contains neither signature). The
+    plan must stay a scan-fused projection — zero Exchange."""
+    from ankiocr_spark.datapipe.curation import (
+        MOJI_DOUBLE_MOD,
+        MOJI_FFFD_MOD,
+        q_mojibake,
+    )
+
+    df = q_mojibake(spark, sf_dir)
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert r["n_double_enc"] == int(r["doc_id"] % MOJI_DOUBLE_MOD == 0)
+        assert r["n_fffd"] == int(r["doc_id"] % MOJI_FFFD_MOD == 0)
+        assert r["is_clean"] == int(
+            r["n_fffd"] == 0 and r["n_double_enc"] == 0
+        )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

@@ -10,9 +10,14 @@ import duckdb
 import pytest
 
 from ankiocr_spark.metadata import (
+    _CANON_GROUP,
+    _LANG_NOISE,
+    _LANG_NOISE_MOD,
     _TABLE_TOKENS,
     _TITLE_WORDS,
+    q_canonical_collapse,
     q_html_tables,
+    q_lang_mismatch,
     q_page_metadata,
 )
 from tests.conftest import SF_DIR
@@ -53,12 +58,14 @@ def test_page_metadata_inverts_the_template(spark):
     assert len(rows) == len(docs)
     for r in rows:
         text = docs[r["url"]]
+        doc_id = int(r["url"].rsplit("/", 1)[1])
         want_title = " ".join(text.split(" ")[:_TITLE_WORDS])
         for ch in '"<>&':
             want_title = want_title.replace(ch, "")
         assert r["title"] == want_title + " | example.org"
-        assert r["canonical_url"] == r["url"]
-        assert r["is_canonical"] == 1
+        want_canon = r["url"].rsplit("/", 1)[0] + f"/{doc_id - doc_id % _CANON_GROUP}"
+        assert r["canonical_url"] == want_canon
+        assert r["is_canonical"] == int(doc_id % _CANON_GROUP == 0)
         assert r["meta_description"].startswith(want_title[:20])
 
 
@@ -83,6 +90,62 @@ def test_html_tables_rows_and_cells(spark):
         assert r["row_text"] == want
 
 
+def test_canonical_collapse_groups_and_representatives(spark):
+    """Groups follow the _CANON_GROUP id fan-in: every group's members are
+    the consecutive ids mapping to the leader, n_self counts only leaders
+    that were actually crawled, and rep_url is the deterministic min."""
+    rows = q_canonical_collapse(spark, SF_DIR).collect()
+    ids = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT doc_id FROM read_parquet('{SF_DIR}/documents.parquet') "
+            "WHERE text IS NOT NULL"
+        ).fetchall()
+    ]
+    want_groups = {}
+    for d in ids:
+        want_groups.setdefault(d - d % _CANON_GROUP, []).append(d)
+    assert len(rows) == len(want_groups)
+    for r in rows:
+        leader = int(r["canonical_url"].rsplit("/", 1)[1])
+        members = want_groups[leader]
+        assert r["n_urls"] == len(members)
+        assert r["n_self"] == int(leader in members)
+        assert int(r["rep_url"].rsplit("/", 1)[1]) == min(
+            members, key=lambda d: str(d)
+        )
+
+
+def test_lang_mismatch_flags_exactly_the_noise_mod(spark):
+    """Only every _LANG_NOISE_MOD-th doc declares the noise lang; all
+    other pages match their corpus language."""
+    rows = q_lang_mismatch(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        doc_id = int(r["url"].rsplit("/", 1)[1])
+        if doc_id % _LANG_NOISE_MOD == 0:
+            assert r["html_lang"] == _LANG_NOISE
+            assert r["is_match"] == int(r["corpus_lang"] == _LANG_NOISE)
+        else:
+            assert r["html_lang"] == r["corpus_lang"]
+            assert r["is_match"] == 1
+
+
+def test_lang_mismatch_plan_is_shuffle_free(spark):
+    plan = _executed_plan(q_lang_mismatch(spark, SF_DIR))
+    assert "Exchange" not in plan
+
+
+def test_canonical_collapse_plan_is_one_partial_agg_exchange(spark):
+    """The collapse must be exactly one hash exchange with map-side
+    partials below it (min over a string forces SortAggregate — no
+    mutable hash buffer for var-length types — but the partial/final
+    split still combines map-side, which is the scale invariant)."""
+    plan = _executed_plan(q_canonical_collapse(spark, SF_DIR))
+    assert plan.count("Exchange") - plan.count("ReusedExchange") == 1
+    assert "partial_count" in plan  # map-side combine before the shuffle
+
+
 def test_markup_in_text_cannot_break_the_template_inverse(spark, tmp_path):
     """Text containing markup ('<table>', '</tr>', '<td>', quotes) must
     not corrupt the extraction: every embedded fragment passes the
@@ -98,7 +161,7 @@ def test_markup_in_text_cannot_break_the_template_inverse(spark, tmp_path):
     p.mkdir()
     pd.DataFrame(
         {
-            "doc_id": [7],
+            "doc_id": [9],  # 9 % _CANON_GROUP == 0 → its own canonical
             "text": [evil],
             "lang": ["eng"],
             "n_chars": [len(evil)],
