@@ -40,18 +40,18 @@ _MODULES = (ops, pdftext, warc, links, streaming, bucketing, checkpoint,
 #: empty so nothing lands in the window implicitly). Composition, per
 #: VERDICT r4 #2 (name every rotation) and ADVICE r4 (headline-benched
 #: queries belong inside the window):
-#:   - 19 NEW queries (never driver-checked): curation_pipeline_e2e,
+#:   - 20 NEW queries (never driver-checked): curation_pipeline_e2e,
 #:     recrawl_e2e, classifier_train, cluster_keeper_staged, semdedup,
 #:     domain_reputation, robots_txt_filter, split_leakage,
 #:     crawl_schedule, zipf_alpha, bpe_pair_counts, perplexity_buckets,
 #:     corpus_health, gate_funnel, page_metadata, html_tables,
-#:     canonical_collapse, lang_mismatch, mojibake;
+#:     canonical_collapse, lang_mismatch, mojibake, charset_sniff;
 #:   - 6 RETURNING headline-bench queries rotated back in from the tail
 #:     (each r2+r3 driver-green): dedup_exact, dedup_minhash_lsh,
 #:     ann_topk_bruteforce, token_count, quality_score, group_concat;
 #:   - flagship_extract + training_pipeline_e2e (headline, kept);
-#:   - the remaining 23 r4-green front entries, kept for a second
-#:     consecutive driver round (19 + 6 + 2 headline + 23 = 50).
+#:   - the remaining 22 r4-green front entries, kept for a second
+#:     consecutive driver round (20 + 6 + 2 headline + 22 = 50).
 #: Rotated OUT to make room (each r4-green; all still swept by
 #: tests/test_oracle_parity.py and scripts/check_oracles.py):
 #:   run_metrics, outlinks_pagerank, stream_host_tracker, merge_upsert
@@ -95,6 +95,7 @@ _FRONT = [
     "canonical_collapse",
     "lang_mismatch",
     "mojibake",
+    "charset_sniff",
     # returning headline-bench queries (ADVICE r4)
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -108,12 +109,12 @@ _FRONT = [
     # r4-green front entries kept for a second consecutive round
     # (multimodal_frame_sample and ann_recall — both r4-green, code
     # untouched in r5, no composition partners — rotated to the tail to
-    # fit page_metadata and html_tables; pii_redact, repetition_filter
-    # and tfidf_top_terms — r4-green singletons, code untouched in r5 —
-    # rotated to fit canonical_collapse, lang_mismatch and mojibake)
+    # fit page_metadata and html_tables; pii_redact, repetition_filter,
+    # tfidf_top_terms and anchor_texts — r4-green singletons, code
+    # untouched in r5 — rotated to fit canonical_collapse, lang_mismatch,
+    # mojibake and charset_sniff)
     "dedup_paragraph",
     "dedup_cc_clusters",
-    "anchor_texts",
     "incremental_extract",
     "blocklist_filter",
     "domain_mix_sample",
@@ -147,6 +148,7 @@ _TAIL = [
     "pii_redact",
     "repetition_filter",
     "tfidf_top_terms",
+    "anchor_texts",
     "pricing_summary",
     "regional_revenue",
     "json_props_histogram",

@@ -236,6 +236,67 @@ def q_lang_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: charset synthesis schedule (pmod(doc_id, 3)): 0 → UTF-8 with BOM and a
+#: meta declaration, 1 → meta-declared legacy charset (the bytes are
+#: ASCII-range, so the synthesized blob stays valid UTF-8 for both
+#: engines' decoders), 2 → no BOM, no declaration (the fetch layer's
+#: "sniff or default" case). Real crawls carry all three shapes.
+_CS_LEGACY = "iso-8859-1"
+_BOM_CHAR = "\ufeff"  # UTF-8-encodes to EF BB BF — the byte-level BOM
+
+
+def q_charset_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charset sniffing over the binary html column — the decision the
+    fetch/extract boundary makes before ANY text operator can run on a
+    real crawl: byte-level BOM detection (hex of the 3-byte prefix, so
+    the projection never doubles the page bytes) plus the meta-declared
+    charset, resolved to a verdict (BOM wins; then the declaration; then
+    the unknown→default-utf-8 fallback).
+
+    Scale shape: one codegen projection fused into the scan (substring →
+    hex → starts_with, decode → regexp_extract), zero Exchange,
+    plan-asserted. At 10^12 pages this runs at scan speed, exactly like
+    `q_page_metadata`.
+
+    Reference analog: AnkiOCR probes its Tesseract install for the
+    available language packs before dispatching OCR (`ocr.py:93-103`);
+    charset resolution is the same pre-flight the web-extraction kernel
+    needs per page."""
+    docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    v = F.pmod(F.col("doc_id"), 3)
+    meta = (
+        F.when(v == 0, F.lit('<meta charset="utf-8">'))
+        .when(v == 1, F.lit(f'<meta charset="{_CS_LEGACY}">'))
+        .otherwise(F.lit(""))
+    )
+    page = F.concat(
+        F.when(v == 0, F.lit(_BOM_CHAR)).otherwise(F.lit("")),
+        F.lit("<html><head>"),
+        meta,
+        F.lit("</head><body><p>"),
+        F.regexp_replace(F.col("text"), _STRIP_CLASS, ""),
+        F.lit("</p></body></html>"),
+    )
+    pages = docs.select(
+        doc_url(F.col("doc_id")).alias("url"),
+        F.encode(page, "utf-8").alias("html"),
+    )
+    has_bom = F.startswith(
+        F.hex(F.substring(F.col("html"), 1, 3)), F.lit("EFBBBF")
+    )
+    declared = F.regexp_extract(
+        F.decode(F.col("html"), "utf-8"), '<meta charset="([^"]*)"', 1
+    )
+    return pages.select(
+        "url",
+        declared.alias("declared_charset"),
+        F.when(has_bom, F.lit("utf-8-bom"))
+        .otherwise(F.coalesce(F.nullif(declared, F.lit("")), F.lit("unknown")))
+        .alias("detected_charset"),
+        has_bom.cast("int").alias("has_bom"),
+    )
+
+
 #: the oracle rebuilds the same template inline (CTE ``pages``), then
 #: runs the same regex inverses DuckDB-side — template and extraction are
 #: exercised end-to-end, not template-vs-itself.
@@ -319,11 +380,39 @@ SELECT url,
 FROM pages
 """
 
+ORACLE_CHARSET_SNIFF = f"""
+WITH pages AS (
+  SELECT '{URL_PREFIX}' || doc_id AS url,
+         encode(
+           CASE WHEN ((doc_id % 3 + 3) % 3) = 0 THEN chr(65279) ELSE '' END
+           || '<html><head>'
+           || CASE WHEN ((doc_id % 3 + 3) % 3) = 0 THEN '<meta charset="utf-8">'
+                   WHEN ((doc_id % 3 + 3) % 3) = 1 THEN '<meta charset="{_CS_LEGACY}">'
+                   ELSE '' END
+           || '</head><body><p>'
+           || regexp_replace(text, '{_STRIP_CLASS}', '', 'g')
+           || '</p></body></html>') AS html
+  FROM documents WHERE text IS NOT NULL),
+sniffed AS (
+  SELECT url,
+         starts_with(hex(html), 'EFBBBF') AS has_bom,
+         regexp_extract(decode(html), '<meta charset="([^"]*)"', 1) AS declared
+  FROM pages)
+SELECT url,
+       declared AS declared_charset,
+       CASE WHEN has_bom THEN 'utf-8-bom'
+            ELSE coalesce(nullif(declared, ''), 'unknown') END
+         AS detected_charset,
+       CASE WHEN has_bom THEN 1 ELSE 0 END AS has_bom
+FROM sniffed
+"""
+
 QUERIES = {
     "page_metadata": q_page_metadata,
     "html_tables": q_html_tables,
     "canonical_collapse": q_canonical_collapse,
     "lang_mismatch": q_lang_mismatch,
+    "charset_sniff": q_charset_sniff,
 }
 
 ORACLE_SQL = {
@@ -331,4 +420,5 @@ ORACLE_SQL = {
     "html_tables": ORACLE_HTML_TABLES,
     "canonical_collapse": ORACLE_CANONICAL_COLLAPSE,
     "lang_mismatch": ORACLE_LANG_MISMATCH,
+    "charset_sniff": ORACLE_CHARSET_SNIFF,
 }

@@ -105,6 +105,10 @@ AUDIT = [
     "gate_funnel",
     "page_metadata",
     "html_tables",
+    "canonical_collapse",
+    "lang_mismatch",
+    "mojibake",
+    "charset_sniff",
 ]
 
 #: caveats rendered under the flags line — mostly for iterative queries,

@@ -204,3 +204,28 @@ def test_null_text_rows_are_excluded(spark, tmp_path, q):
     ).to_parquet(p / "documents.parquet")
     got = q(spark, str(p)).collect()
     assert {r["url"] for r in got} == {"https://example.org/doc/1"}
+
+
+def test_charset_sniff_schedule_and_plan(spark):
+    """The detector inverts the synthesis schedule byte-for-byte: BOM
+    pages detect as utf-8-bom (hex-prefix check on the BINARY column,
+    not on the decoded text), declared-legacy pages surface their meta
+    value, bare pages fall to the unknown default. Zero Exchange."""
+    from ankiocr_spark.metadata import _CS_LEGACY, q_charset_sniff
+
+    df = q_charset_sniff(spark, SF_DIR)
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        doc_id = int(r["url"].rsplit("/", 1)[1])
+        v = doc_id % 3
+        if v == 0:
+            assert (r["has_bom"], r["declared_charset"], r["detected_charset"]) == (
+                1, "utf-8", "utf-8-bom")
+        elif v == 1:
+            assert (r["has_bom"], r["declared_charset"], r["detected_charset"]) == (
+                0, _CS_LEGACY, _CS_LEGACY)
+        else:
+            assert (r["has_bom"], r["declared_charset"], r["detected_charset"]) == (
+                0, "", "unknown")
+    assert "Exchange" not in _executed_plan(df)
