@@ -40,18 +40,19 @@ _MODULES = (ops, pdftext, warc, links, streaming, bucketing, checkpoint,
 #: empty so nothing lands in the window implicitly). Composition, per
 #: VERDICT r4 #2 (name every rotation) and ADVICE r4 (headline-benched
 #: queries belong inside the window):
-#:   - 20 NEW queries (never driver-checked): curation_pipeline_e2e,
+#:   - 22 NEW queries (never driver-checked): curation_pipeline_e2e,
 #:     recrawl_e2e, classifier_train, cluster_keeper_staged, semdedup,
 #:     domain_reputation, robots_txt_filter, split_leakage,
 #:     crawl_schedule, zipf_alpha, bpe_pair_counts, perplexity_buckets,
 #:     corpus_health, gate_funnel, page_metadata, html_tables,
-#:     canonical_collapse, lang_mismatch, mojibake, charset_sniff;
+#:     canonical_collapse, lang_mismatch, mojibake, charset_sniff,
+#:     redirect_resolve, registered_domain;
 #:   - 6 RETURNING headline-bench queries rotated back in from the tail
 #:     (each r2+r3 driver-green): dedup_exact, dedup_minhash_lsh,
 #:     ann_topk_bruteforce, token_count, quality_score, group_concat;
 #:   - flagship_extract + training_pipeline_e2e (headline, kept);
-#:   - the remaining 22 r4-green front entries, kept for a second
-#:     consecutive driver round (20 + 6 + 2 headline + 22 = 50).
+#:   - the remaining 20 r4-green front entries, kept for a second
+#:     consecutive driver round (22 + 6 + 2 headline + 20 = 50).
 #: Rotated OUT to make room (each r4-green; all still swept by
 #: tests/test_oracle_parity.py and scripts/check_oracles.py):
 #:   run_metrics, outlinks_pagerank, stream_host_tracker, merge_upsert
@@ -96,6 +97,8 @@ _FRONT = [
     "lang_mismatch",
     "mojibake",
     "charset_sniff",
+    "redirect_resolve",
+    "registered_domain",
     # returning headline-bench queries (ADVICE r4)
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -112,13 +115,15 @@ _FRONT = [
     # fit page_metadata and html_tables; pii_redact, repetition_filter,
     # tfidf_top_terms and anchor_texts — r4-green singletons, code
     # untouched in r5 — rotated to fit canonical_collapse, lang_mismatch,
-    # mojibake and charset_sniff)
+    # mojibake and charset_sniff; incremental_extract — r4-green, its
+    # code path runs inside the in-window recrawl_e2e (same rationale as
+    # crawl_delta) — and lm_perplexity — r4-green, the in-window
+    # perplexity_buckets shares its scorer `_lm_doc_scores` — rotated to
+    # fit redirect_resolve and registered_domain)
     "dedup_paragraph",
     "dedup_cc_clusters",
-    "incremental_extract",
     "blocklist_filter",
     "domain_mix_sample",
-    "lm_perplexity",
     "dedup_substring",
     "seq_pack",
     "train_val_split",
@@ -149,6 +154,8 @@ _TAIL = [
     "repetition_filter",
     "tfidf_top_terms",
     "anchor_texts",
+    "incremental_extract",
+    "lm_perplexity",
     "pricing_summary",
     "regional_revenue",
     "json_props_histogram",

@@ -635,12 +635,296 @@ SELECT * FROM fx UNION ALL SELECT * FROM refs
 """
 
 
+#: redirect-chain synthesis: chains of CHAIN_LEN nodes (pos p > 0
+#: redirects to p-1; pos 0 is the terminal 200-OK page), and every
+#: 17th chain closes into a cycle (its terminal redirects back to the
+#: chain tail) — the redirect loops real CDX indexes are full of.
+REDIRECT_CHAIN_LEN = 5
+REDIRECT_CYCLE_EVERY = 17
+#: hop cap: 2^REDIRECT_ROUNDS. Real crawlers cap at 10-30 hops
+#: (Chromium: 20); anything longer is treated as a loop.
+REDIRECT_ROUNDS = 4
+_REDIRECT_URL = "https://r.example.org/"
+
+
+def _redirect_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src, dst) redirect edges from the deterministic doc_id schedule.
+    Each src has AT MOST ONE outgoing edge (HTTP Location is functional),
+    which is what lets resolution be a mapping composition."""
+    from pyspark.sql import functions as F
+
+    from .ops import load
+
+    ids = load(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
+    pos = F.pmod(F.col("id"), REDIRECT_CHAIN_LEN)
+    chain = F.expr(
+        f"(id - pmod(id, {REDIRECT_CHAIN_LEN})) div {REDIRECT_CHAIN_LEN}"
+    )
+    cyclic = F.pmod(chain, REDIRECT_CYCLE_EVERY) == 0
+    return ids.where((pos > 0) | cyclic).select(
+        F.col("id").alias("src"),
+        F.when(pos > 0, F.col("id") - 1)
+        .otherwise(F.col("id") + (REDIRECT_CHAIN_LEN - 1))
+        .alias("dst"),
+    )
+
+
+def resolve_redirects(edges: DataFrame, rounds: int = REDIRECT_ROUNDS) -> DataFrame:
+    """Collapse redirect chains to their terminal targets by POINTER
+    DOUBLING: keep a mapping node -> (2^k hops ahead, hops walked, done);
+    each round composes the mapping with itself, so `rounds` rounds cover
+    2^rounds hops. Nodes whose walk never lands on a terminal (no
+    outgoing edge) within the cap are reported unresolved — that's both
+    loops and over-long chains, exactly the crawler policy.
+
+    Scale shape: state is O(nodes) and each round is ONE equi-join
+    shuffle on node id + a codegen projection — O(E log maxhops) total
+    shuffle versus the naive one-hop-per-round O(E * maxhops). Each
+    generation is ``localCheckpoint``-ed for the same reason as the CC
+    loop in `dedup.q_dedup_cc_clusters`: an InMemoryRelation embeds its
+    child plan, so a cached doubling loop doubles the logical plan every
+    round; the checkpoint truncates it to a LogicalRDD. At 10^12 urls a
+    32-hop cap is 5 rounds.
+
+    Reference analog: AnkiOCR resolves every note's ``img src`` reference
+    through the collection media dir to the actual fetchable file before
+    OCR, warning-and-skipping broken references (`utils.py:47-58`);
+    redirect resolution is the crawl-scale version of that
+    reference-to-resource chase, loops included."""
+    from pyspark.sql import functions as F
+
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    # rename the edge columns before the nodes⋈edges self-join: both
+    # sides derive from the same scan, and Spark's ambiguous-self-join
+    # check (rightly) refuses bare `edges.dst` references here
+    e = edges.select(F.col("src").alias("e_src"), F.col("dst").alias("e_dst"))
+    outs = edges.select(F.col("src").alias("o_src")).distinct()
+    # invariant each round preserves: done(x) <=> nxt(x) is terminal.
+    # It must hold at k=0 too — done = terminality of the TARGET, not of
+    # x (setting it from x lags one round: a node exactly 2^rounds hops
+    # out lands on the terminal with done still false)
+    m = (
+        nodes.join(e, nodes.id == e.e_src, "left")
+        .join(outs, F.col("e_dst") == outs.o_src, "left")
+        .select(
+            "id",
+            F.coalesce("e_dst", "id").alias("nxt"),
+            F.when(F.col("e_dst").isNotNull(), F.lit(1)).otherwise(F.lit(0)).alias("hops"),
+            F.col("o_src").isNull().alias("done"),
+        )
+        .localCheckpoint()
+    )
+    for _ in range(rounds):
+        nx = m.select(
+            F.col("id").alias("j_id"),
+            F.col("nxt").alias("j_nxt"),
+            F.col("hops").alias("j_hops"),
+            F.col("done").alias("j_done"),
+        )
+        # unconditional composition: a terminal row maps to itself with
+        # hops 0 / done, so m(m(x)) is correct without a done branch
+        m = m.join(nx, m.nxt == nx.j_id).select(
+            "id",
+            F.col("j_nxt").alias("nxt"),
+            (F.col("hops") + F.col("j_hops")).alias("hops"),
+            F.col("j_done").alias("done"),
+        ).localCheckpoint()
+    return m
+
+
+def q_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect-chain collapse over a synthetic CDX redirect table — the
+    pass a crawl index runs before ANY url-keyed dedup, so that
+    http://a -> ... -> https://z chains count as one resource. Chains,
+    truncated chains and redirect LOOPS are all planted by the
+    deterministic schedule; loops surface as status='unresolved' with
+    NULL target (the crawler's give-up verdict), everything else reports
+    the terminal url and the exact hop count."""
+    from pyspark.sql import functions as F
+
+    m = resolve_redirects(_redirect_edges(spark, sf_dir))
+    url = lambda c: F.concat(F.lit(_REDIRECT_URL), F.col(c).cast("string"))  # noqa: E731
+    return m.select(
+        url("id").alias("url"),
+        F.when(F.col("done"), url("nxt")).alias("final_url"),
+        F.when(F.col("done"), F.col("hops")).cast("bigint").alias("hops"),
+        F.when(F.col("done"), F.lit("resolved"))
+        .otherwise(F.lit("unresolved"))
+        .alias("status"),
+    )
+
+
+def _oracle_redirect_resolve() -> str:
+    #: the oracle follows the SAME planted graph one hop at a time with
+    #: a recursive CTE capped at 2^rounds hops, then reads the last
+    #: reachable node per src — resolution logic is exercised end-to-end
+    #: against an independent algorithm (walk vs pointer doubling)
+    L, C, cap = REDIRECT_CHAIN_LEN, REDIRECT_CYCLE_EVERY, 2 ** REDIRECT_ROUNDS
+    return f"""
+WITH RECURSIVE
+ids AS (SELECT doc_id AS id FROM documents),
+edges AS (
+  SELECT id AS src,
+         CASE WHEN ((id % {L} + {L}) % {L}) > 0 THEN id - 1
+              ELSE id + {L - 1} END AS dst
+  FROM ids
+  WHERE ((id % {L} + {L}) % {L}) > 0
+     OR ((((id - (id % {L} + {L}) % {L}) // {L}) % {C} + {C}) % {C}) = 0),
+nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+walk(src, cur, hops) AS (
+  SELECT id, id, 0 FROM nodes
+  UNION ALL
+  SELECT w.src, e.dst, w.hops + 1
+  FROM walk w JOIN edges e ON e.src = w.cur WHERE w.hops < {cap}),
+last AS (
+  SELECT src, arg_max(cur, hops) AS cur, max(hops) AS hops
+  FROM walk GROUP BY src),
+outs AS (SELECT DISTINCT src FROM edges)
+SELECT '{_REDIRECT_URL}' || l.src AS url,
+       CASE WHEN o.src IS NULL THEN '{_REDIRECT_URL}' || l.cur END AS final_url,
+       (CASE WHEN o.src IS NULL THEN l.hops END)::BIGINT AS hops,
+       CASE WHEN o.src IS NULL THEN 'resolved' ELSE 'unresolved' END AS status
+FROM last l LEFT JOIN outs o ON o.src = l.cur
+"""
+
+
+#: mini public-suffix list: real-PSL shapes — 1- and 2-label ICANN
+#: suffixes plus "private" registry entries (github.io, blogspot.com)
+#: whose longest-match must beat their embedded TLD. The production list
+#: is ~9k entries — still broadcast-sized, same plan.
+PUBLIC_SUFFIXES = (
+    "com", "org", "net", "io", "uk", "jp",
+    "co.uk", "org.uk", "ac.uk", "com.au", "co.jp",
+    "github.io", "blogspot.com",
+)
+#: longest PSL entry we probe (the real list's max is 4 labels)
+_PSL_MAX_LABELS = 4
+
+
+def registered_domain(hosts: DataFrame) -> DataFrame:
+    """eTLD+1 (registered domain) per host via LONGEST public-suffix
+    match — the grouping key blocklists, reputation scores and domain-mix
+    sampling actually operate on (host-level grouping splits
+    a.example.com from b.example.com; label-count heuristics break on
+    co.uk). Input: (doc_id, host). Output adds (public_suffix,
+    registered_domain); unlisted TLDs fall back to the PSL's implicit
+    ``*`` rule (suffix = last label), and a host that IS a bare suffix
+    has no registrable part (NULL).
+
+    Scale shape: ONE codegen projection fused into the scan, zero
+    Exchange (plan-asserted) — the match length is `array_max` over the
+    ≤ _PSL_MAX_LABELS candidate lengths that pass an `array_contains`
+    check against the literal suffix array, so there is no Generate, no
+    aggregate and no join. The label array is re-split per lambda
+    reference (Catalyst collapses stacked Projects, so no CSE across the
+    HOF boundary), but hosts are RFC-capped at 253 chars — the bounded
+    cousin of the O(tokens²) doc-text re-tokenization trap, harmless
+    here. At the real PSL's ~9k entries the literal array stops being
+    sensible codegen; the same query then becomes explode(candidates) →
+    broadcast-join(suffix table) → one partial-aggregatable max(k)
+    exchange — documented, not needed for a 13-entry demo list.
+
+    Reference analog: AnkiOCR routes each image by matching its path
+    suffix against a fixed format allowlist (`utils.py:39,64-75`); PSL
+    matching is the same suffix-allowlist dispatch with longest-match
+    precedence."""
+    from pyspark.sql import functions as F
+
+    sfx = F.array(*[F.lit(s) for s in PUBLIC_SUFFIXES])
+    labels = F.split("host", r"\.")
+    n = F.size(labels)
+
+    def cand(k: F.Column) -> F.Column:
+        return F.array_join(F.slice(labels, n - k + 1, k), ".")
+
+    mk = F.array_max(
+        F.filter(
+            F.sequence(F.lit(1), F.least(n, F.lit(_PSL_MAX_LABELS))),
+            lambda k: F.array_contains(sfx, cand(k)),
+        )
+    )
+    kf = F.coalesce(mk, F.lit(1))
+    return hosts.select(
+        "doc_id",
+        "host",
+        F.array_join(F.slice(labels, n - kf + 1, kf), ".").alias("public_suffix"),
+        F.when(
+            n > kf, F.array_join(F.slice(labels, n - kf, kf + 1), ".")
+        ).alias("registered_domain"),
+    )
+
+
+def q_registered_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered-domain extraction over a deterministic adversarial host
+    per document: multi-label subdomains, private-registry suffixes,
+    unlisted TLDs, bare suffixes and single-label intranet hosts — one
+    shape per doc_id % 6, so every PSL rule (longest match, implicit *,
+    no-registrable-part) is value-checked."""
+    from pyspark.sql import functions as F
+
+    from .ops import load
+
+    d = F.col("doc_id").cast("string")
+    host = (
+        F.when(F.col("doc_id") % 6 == 0, F.concat(F.lit("www.shop"), d, F.lit(".co.uk")))
+        .when(F.col("doc_id") % 6 == 1, F.concat(F.lit("a.b.site"), d, F.lit(".com")))
+        .when(F.col("doc_id") % 6 == 2, F.concat(F.lit("cdn"), d, F.lit(".github.io")))
+        .when(F.col("doc_id") % 6 == 3, F.concat(F.lit("news"), d, F.lit(".example.dev")))
+        .when(F.col("doc_id") % 6 == 4, F.lit("ac.uk"))
+        .otherwise(F.concat(F.lit("intranet-host"), d))
+    )
+    hosts = load(spark, sf_dir, "documents").select(
+        "doc_id", host.alias("host")
+    )
+    return registered_domain(hosts)
+
+
+def _oracle_registered_domain() -> str:
+    values = ", ".join(f"('{s}')" for s in PUBLIC_SUFFIXES)
+    return f"""
+WITH hosts AS (
+  SELECT doc_id,
+         CASE ((doc_id % 6 + 6) % 6)
+           WHEN 0 THEN 'www.shop' || doc_id || '.co.uk'
+           WHEN 1 THEN 'a.b.site' || doc_id || '.com'
+           WHEN 2 THEN 'cdn' || doc_id || '.github.io'
+           WHEN 3 THEN 'news' || doc_id || '.example.dev'
+           WHEN 4 THEN 'ac.uk'
+           ELSE 'intranet-host' || doc_id END AS host
+  FROM documents),
+sfx(suffix) AS (VALUES {values}),
+lab AS (SELECT doc_id, host, string_split(host, '.') AS labels FROM hosts),
+cand AS (
+  SELECT doc_id, host, k
+  FROM lab, unnest([{", ".join(str(k) for k in range(1, _PSL_MAX_LABELS + 1))}]) AS t(k)
+  WHERE k <= len(labels)
+    AND array_to_string(labels[len(labels) - k + 1:len(labels)], '.')
+        IN (SELECT suffix FROM sfx)),
+m AS (SELECT doc_id, host, max(k) AS mk FROM cand GROUP BY doc_id, host),
+fin AS (
+  SELECT h.doc_id, h.host, string_split(h.host, '.') AS labels,
+         len(string_split(h.host, '.')) AS n, coalesce(m.mk, 1) AS kf
+  FROM hosts h LEFT JOIN m ON m.doc_id = h.doc_id AND m.host = h.host)
+SELECT doc_id, host,
+       array_to_string(labels[n - kf + 1:n], '.') AS public_suffix,
+       CASE WHEN n > kf
+            THEN array_to_string(labels[n - kf:n], '.') END AS registered_domain
+FROM fin
+"""
+
+
 QUERIES = {
     "outlinks": q_outlinks,
     "pagerank": q_pagerank,
     "outlinks_pagerank": q_outlinks_pagerank,
     "url_normalize": q_url_normalize,
     "anchor_texts": q_anchor_texts,
+    "redirect_resolve": q_redirect_resolve,
+    "registered_domain": q_registered_domain,
 }
 ORACLE_SQL = {
     "outlinks": _oracle_outlinks(),
@@ -648,4 +932,6 @@ ORACLE_SQL = {
     "outlinks_pagerank": _oracle_outlinks_pagerank(),
     "url_normalize": _oracle_url_normalize(),
     "anchor_texts": _oracle_anchor_texts(),
+    "redirect_resolve": _oracle_redirect_resolve(),
+    "registered_domain": _oracle_registered_domain(),
 }

@@ -85,6 +85,12 @@ SECONDARY = [
     "gate_funnel",
     "page_metadata",
     "html_tables",
+    "canonical_collapse",
+    "lang_mismatch",
+    "mojibake",
+    "charset_sniff",
+    "redirect_resolve",
+    "registered_domain",
 ]
 
 #: the documents-driven round-5 ops ALSO timed at the 10× corpus — at
@@ -106,6 +112,12 @@ SECONDARY_10X = [
     "gate_funnel",
     "page_metadata",
     "html_tables",
+    "canonical_collapse",
+    "lang_mismatch",
+    "mojibake",
+    "charset_sniff",
+    "redirect_resolve",
+    "registered_domain",
 ]
 
 

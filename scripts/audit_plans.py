@@ -109,6 +109,8 @@ AUDIT = [
     "lang_mismatch",
     "mojibake",
     "charset_sniff",
+    "redirect_resolve",
+    "registered_domain",
 ]
 
 #: caveats rendered under the flags line — mostly for iterative queries,
@@ -116,6 +118,13 @@ AUDIT = [
 #: already ran exactly once (materialized by the per-iteration scalar
 #: action) and will NOT re-execute when the returned DataFrame runs.
 NOTES = {
+    "redirect_resolve": (
+        "Pointer-doubling query: each of the log2(hop cap) rounds is "
+        "localCheckpoint-ed, so the printed plan is the final codegen "
+        "projection over a LogicalRDD — the per-round work (ONE equi-join "
+        "shuffle on node id + ONE projection) already ran during "
+        "construction, exactly like the CC loop in dedup_cc_clusters."
+    ),
     "pagerank": (
         "Iterative query: the Exchange/Join counts include InMemoryRelation "
         "subtrees (cached nodes/edges/rank generations) that were "

@@ -197,3 +197,86 @@ def test_anchor_pairs_implicit_close_and_truncation():
     assert extract_anchor_pairs("https://e.org/", html) == [
         ("https://e.org/last", "trailing tex"),
     ]
+
+
+def test_redirect_resolution_inverts_the_planted_schedule(spark, sf_dir):
+    """Every non-cyclic chain member resolves to its chain head with
+    hops == its position; every member of a planted cycle (chain % 17
+    == 0, terminal redirects back to the tail) is unresolved with NULL
+    target — the crawler give-up verdict."""
+    from ankiocr_spark.links import (
+        REDIRECT_CHAIN_LEN as L,
+        REDIRECT_CYCLE_EVERY,
+        _REDIRECT_URL,
+        q_redirect_resolve,
+    )
+
+    rows = q_redirect_resolve(spark, sf_dir).collect()
+    assert rows
+    seen_cycle = seen_chain = False
+    for r in rows:
+        nid = int(r["url"].rsplit("/", 1)[1])
+        chain, pos = divmod(nid, L)
+        if chain % REDIRECT_CYCLE_EVERY == 0:
+            seen_cycle = True
+            assert (r["status"], r["final_url"], r["hops"]) == (
+                "unresolved", None, None)
+        else:
+            seen_chain = True
+            assert r["status"] == "resolved"
+            assert r["final_url"] == f"{_REDIRECT_URL}{chain * L}"
+            assert r["hops"] == pos
+    assert seen_cycle and seen_chain
+
+
+def test_resolve_redirects_hop_cap_loop_and_round_invariance(spark):
+    """Unit graph hitting every boundary: a chain of exactly 2^rounds
+    hops resolves AT the cap, one of 2^rounds + 1 is unresolved (but
+    resolves with one more doubling round — the cap is the only reason),
+    a 2-cycle and a self-loop are unresolved at ANY round count."""
+    from ankiocr_spark.links import REDIRECT_ROUNDS, resolve_redirects
+
+    cap = 2 ** REDIRECT_ROUNDS
+    edges = [(100 + i + 1, 100 + i) for i in range(cap)]      # 16-hop chain
+    edges += [(300 + i + 1, 300 + i) for i in range(cap + 1)]  # 17-hop chain
+    edges += [(1, 2), (2, 1), (9, 9)]                          # cycle + self-loop
+    df = spark.createDataFrame(edges, "src: bigint, dst: bigint")
+
+    out = {r["id"]: r for r in resolve_redirects(df).collect()}
+    assert (out[100 + cap]["done"], out[100 + cap]["nxt"], out[100 + cap]["hops"]) == (
+        True, 100, cap)
+    assert out[300 + cap + 1]["done"] is False
+    assert out[300 + cap]["done"] and out[300 + cap]["hops"] == cap
+    for loop_node in (1, 2, 9):
+        assert out[loop_node]["done"] is False
+
+    deeper = {r["id"]: r for r in resolve_redirects(df, rounds=REDIRECT_ROUNDS + 1).collect()}
+    assert deeper[300 + cap + 1]["done"] and deeper[300 + cap + 1]["hops"] == cap + 1
+    for loop_node in (1, 2, 9):
+        assert deeper[loop_node]["done"] is False
+    # resolved verdicts are round-invariant once reached
+    assert all(
+        deeper[i]["nxt"] == out[i]["nxt"] and deeper[i]["hops"] == out[i]["hops"]
+        for i in out if out[i]["done"])
+
+
+def test_registered_domain_psl_rules_and_plan(spark, sf_dir):
+    """Longest-match beats shorter suffixes (github.io over io, co.uk
+    over uk), unlisted TLDs fall back to the implicit * rule, bare
+    suffixes and single-label hosts have no registrable part; the whole
+    query is one scan-fused projection (zero Exchange)."""
+    from ankiocr_spark.links import q_registered_domain
+
+    df = q_registered_domain(spark, sf_dir)
+    for r in df.collect():
+        d, shape = r["doc_id"], r["doc_id"] % 6
+        expect = {
+            0: ("co.uk", f"shop{d}.co.uk"),
+            1: ("com", f"site{d}.com"),
+            2: ("github.io", f"cdn{d}.github.io"),
+            3: ("dev", "example.dev"),
+            4: ("ac.uk", None),
+            5: (f"intranet-host{d}", None),
+        }[shape]
+        assert (r["public_suffix"], r["registered_domain"]) == expect, r
+    assert "Exchange" not in df._jdf.queryExecution().executedPlan().toString()
