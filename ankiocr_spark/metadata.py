@@ -194,14 +194,15 @@ def q_canonical_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference analog: AnkiOCR keys OCR results per note id and collapses
     repeated media to one result row (`ocr.py:60-78` batching by note);
-    here the 'same underlying page' key is the canonical link."""
-    pages = _meta_pages(spark, sf_dir)
-    s = F.decode(F.col("html"), "utf-8")
-    canonical = F.regexp_extract(s, '<link rel="canonical" href="([^"]*)"', 1)
-    per_url = pages.select(
+    here the 'same underlying page' key is the canonical link. The
+    per-url canonical bits are a PROJECTION of `q_page_metadata`'s output
+    (review find: a second copy of the canonical regex here could drift
+    from the per-page metadata it aggregates); Catalyst's column pruning
+    drops the title/description regexes from this lineage."""
+    per_url = q_page_metadata(spark, sf_dir).select(
         "url",
-        canonical.alias("canonical_url"),
-        (canonical == F.col("url")).cast("int").alias("is_self"),
+        "canonical_url",
+        F.col("is_canonical").alias("is_self"),
     )
     return per_url.groupBy("canonical_url").agg(
         F.count("*").cast("bigint").alias("n_urls"),
