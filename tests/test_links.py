@@ -299,3 +299,46 @@ def test_registered_domain_psl_rules_and_plan(spark, sf_dir):
         }[shape]
         assert (r["public_suffix"], r["registered_domain"]) == expect, r
     assert "Exchange" not in df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_resolve_redirects_matches_reference_walk_on_random_graphs(spark):
+    """Differential test on seeded RANDOM functional graphs (every src
+    one dst — the HTTP Location shape): pointer doubling must agree with
+    a plain Python hop-by-hop walk on status, target and hop count for
+    every node. Random graphs mix chains, trees feeding cycles, long
+    tails and self-loops — the compositions the planted schedule and the
+    boundary unit test can't enumerate."""
+    import random
+
+    from ankiocr_spark.links import REDIRECT_ROUNDS, resolve_redirects
+
+    cap = 2 ** REDIRECT_ROUNDS
+    for seed in (7, 19, 23):
+        rng = random.Random(seed)
+        n = 80
+        # ~70% of nodes redirect somewhere (self-loops allowed); the rest
+        # are terminals reachable as targets
+        edges = [
+            (i, rng.randrange(n)) for i in range(n) if rng.random() < 0.7
+        ]
+        has_out = {s for s, _ in edges}
+        nxt = dict(edges)
+
+        def ref(i):
+            hops = 0
+            while hops <= cap:
+                if i not in has_out:
+                    return (True, i, hops)
+                i, hops = nxt[i], hops + 1
+            return (False, None, None)
+
+        df = spark.createDataFrame(edges, "src: bigint, dst: bigint")
+        got = {r["id"]: r for r in resolve_redirects(df).collect()}
+        nodes = has_out | {d for _, d in edges}
+        assert set(got) == nodes, seed
+        for i in nodes:
+            done, fin, hops = ref(i)
+            r = got[i]
+            assert r["done"] is done, (seed, i)
+            if done:
+                assert (r["nxt"], r["hops"]) == (fin, hops), (seed, i)
