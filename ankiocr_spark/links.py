@@ -719,6 +719,14 @@ def resolve_redirects(edges: DataFrame, rounds: int = REDIRECT_ROUNDS) -> DataFr
         .localCheckpoint()
     )
     for _ in range(rounds):
+        # early exit: done rows are fixpoints of the composition, so once
+        # nothing is pending the remaining rounds are no-ops. Real-world
+        # chains are short (median <= 2 hops), so at 10^12 urls this one
+        # metadata-cheap probe per round (over the already-materialized
+        # checkpoint) routinely saves whole join rounds of the cap-sized
+        # schedule; loops keep the loop alive to the cap, as they must.
+        if m.where(~F.col("done")).isEmpty():
+            break
         nx = m.select(
             F.col("id").alias("j_id"),
             F.col("nxt").alias("j_nxt"),

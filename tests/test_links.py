@@ -342,3 +342,31 @@ def test_resolve_redirects_matches_reference_walk_on_random_graphs(spark):
             assert r["done"] is done, (seed, i)
             if done:
                 assert (r["nxt"], r["hops"]) == (fin, hops), (seed, i)
+
+
+def test_resolve_redirects_early_exit_skips_settled_rounds(spark, monkeypatch):
+    """Once every node is resolved the remaining doubling rounds are
+    no-ops and must be SKIPPED (at 10^12 urls the median chain is <= 2
+    hops, so most cap-sized schedules never run): a graph of pure 1-hop
+    chains is fully done at init, so zero composition rounds execute —
+    observed via the per-round localCheckpoint count (1 = init only)."""
+    from ankiocr_spark.links import resolve_redirects
+
+    edges = spark.createDataFrame(
+        [(i, 1000 + i) for i in range(10)], "src: bigint, dst: bigint"
+    )
+    # patch the CONCRETE class (Spark 4: pyspark.sql.DataFrame is a
+    # facade; instances are pyspark.sql.classic.dataframe.DataFrame)
+    cls = type(edges)
+    calls = []
+    orig = cls.localCheckpoint
+
+    def spy(self, *a, **kw):
+        calls.append(1)
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(cls, "localCheckpoint", spy)
+    out = {r["id"]: r for r in resolve_redirects(edges).collect()}
+    assert len(calls) == 1
+    assert all(out[i]["done"] and out[i]["hops"] == 1 for i in range(10))
+    assert all(out[1000 + i]["done"] and out[1000 + i]["hops"] == 0 for i in range(10))
