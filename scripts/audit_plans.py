@@ -119,7 +119,7 @@ AUDIT = [
 #: action) and will NOT re-execute when the returned DataFrame runs.
 NOTES = {
     "redirect_resolve": (
-        "Pointer-doubling query: each of the log2(hop cap) rounds is "
+        "Pointer-doubling query: each of the up-to-log2(hop cap) rounds (settled rounds are skipped) is "
         "localCheckpoint-ed, so the printed plan is the final codegen "
         "projection over a LogicalRDD — the per-round work (ONE equi-join "
         "shuffle on node id + ONE projection) already ran during "
