@@ -821,7 +821,11 @@ def registered_domain(hosts: DataFrame) -> DataFrame:
     co.uk). Input: (doc_id, host). Output adds (public_suffix,
     registered_domain); unlisted TLDs fall back to the PSL's implicit
     ``*`` rule (suffix = last label), and a host that IS a bare suffix
-    has no registrable part (NULL).
+    has no registrable part (NULL). A trailing FQDN dot
+    (``example.com.`` — routine in DNS-derived host data) is stripped
+    before matching; otherwise-invalid hosts (empty labels) pass through
+    deterministically — host validation belongs to `host_col`/url
+    parsing, not here.
 
     Scale shape: ONE codegen projection fused into the scan, zero
     Exchange (plan-asserted) — the match length is `array_max` over the
@@ -843,7 +847,7 @@ def registered_domain(hosts: DataFrame) -> DataFrame:
     from pyspark.sql import functions as F
 
     sfx = F.array(*[F.lit(s) for s in PUBLIC_SUFFIXES])
-    labels = F.split("host", r"\.")
+    labels = F.split(F.regexp_replace("host", r"\.$", ""), r"\.")
     n = F.size(labels)
 
     def cand(k: F.Column) -> F.Column:

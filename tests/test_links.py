@@ -370,3 +370,24 @@ def test_resolve_redirects_early_exit_skips_settled_rounds(spark, monkeypatch):
     assert len(calls) == 1
     assert all(out[i]["done"] and out[i]["hops"] == 1 for i in range(10))
     assert all(out[1000 + i]["done"] and out[1000 + i]["hops"] == 0 for i in range(10))
+
+
+def test_registered_domain_strips_fqdn_trailing_dot(spark):
+    """DNS-derived host data routinely carries the FQDN trailing dot;
+    matching must see 'example.com.' as 'example.com' (kept verbatim in
+    the host column — only the match normalizes)."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from ankiocr_spark.links import registered_domain
+
+    hosts = spark.createDataFrame(
+        [(1, "www.example.com."), (2, "portal.ac.uk."), (3, "ac.uk.")],
+        "doc_id: bigint, host: string",
+    )
+    got = {r["doc_id"]: r for r in registered_domain(hosts).collect()}
+    assert got[1]["host"] == "www.example.com."
+    assert (got[1]["public_suffix"], got[1]["registered_domain"]) == (
+        "com", "example.com")
+    assert (got[2]["public_suffix"], got[2]["registered_domain"]) == (
+        "ac.uk", "portal.ac.uk")
+    assert (got[3]["public_suffix"], got[3]["registered_domain"]) == ("ac.uk", None)
