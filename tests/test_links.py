@@ -391,3 +391,42 @@ def test_registered_domain_strips_fqdn_trailing_dot(spark):
     assert (got[2]["public_suffix"], got[2]["registered_domain"]) == (
         "ac.uk", "portal.ac.uk")
     assert (got[3]["public_suffix"], got[3]["registered_domain"]) == ("ac.uk", None)
+
+
+def test_registered_domain_matches_python_reference_on_random_hosts(spark):
+    """Differential test on seeded random hosts (labels drawn from
+    suffix fragments and junk, so shapes like 'github.io.com' — a PSL
+    entry embedded mid-host, which must NOT match — arise): the Spark
+    longest-match must agree with a direct Python re-implementation for
+    every host."""
+    import random
+
+    from ankiocr_spark.links import PUBLIC_SUFFIXES, registered_domain
+
+    rng = random.Random(31)
+    frags = ["com", "org", "io", "uk", "co", "ac", "github", "blogspot",
+             "www", "cdn", "x9", "example", "dev", "jp", "au"]
+    hosts = []
+    for i in range(200):
+        n = rng.randint(1, 5)
+        hosts.append((i, ".".join(rng.choice(frags) for _ in range(n))))
+
+    suffixes = set(PUBLIC_SUFFIXES)
+
+    def ref(host):
+        labels = host.rstrip(".").split(".")
+        n = len(labels)
+        mk = 0
+        for k in range(1, min(n, 4) + 1):
+            if ".".join(labels[n - k:]) in suffixes:
+                mk = k
+        kf = mk or 1
+        suffix = ".".join(labels[n - kf:])
+        reg = ".".join(labels[n - kf - 1:]) if n > kf else None
+        return suffix, reg
+
+    df = spark.createDataFrame(hosts, "doc_id: bigint, host: string")
+    got = {r["doc_id"]: r for r in registered_domain(df).collect()}
+    assert len(got) == len(hosts)
+    for i, h in hosts:
+        assert (got[i]["public_suffix"], got[i]["registered_domain"]) == ref(h), h
